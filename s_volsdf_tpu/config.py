@@ -1,0 +1,309 @@
+"""Configuration tree for the TPU S-VolSDF pipeline.
+
+Replaces the reference's dual hydra/OmegaConf + pyhocon stack
+(/root/reference/runner.py:8-16, /root/reference/volsdf/vsdf.py:24-26)
+with a single typed dataclass tree loadable from YAML with dotted CLI
+overrides (`key.subkey=value`), mirroring the reference defaults in
+/root/reference/config/{base,ours}.yaml and config/vol/{dtu,bmvs}.yaml.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+import yaml
+
+
+# --------------------------------------------------------------------------
+# VolSDF model configs (reference config/vol/dtu.yaml, bmvs.yaml)
+# --------------------------------------------------------------------------
+
+@dataclass(unsafe_hash=True)
+class ImplicitNetConfig:
+    """SDF MLP (reference volsdf/model/network.py:10-131)."""
+    d_in: int = 3
+    d_out: int = 1
+    dims: Tuple[int, ...] = (256,) * 8
+    geometric_init: bool = True
+    bias: float = 0.6
+    skip_in: Tuple[int, ...] = (4,)
+    weight_norm: bool = True
+    multires: int = 6
+    sphere_scale: float = 20.0
+
+
+@dataclass(unsafe_hash=True)
+class RenderingNetConfig:
+    """Radiance MLP (reference volsdf/model/network.py:134-190)."""
+    mode: str = "idr"  # 'idr' | 'nerf'
+    d_in: int = 9
+    d_out: int = 3
+    dims: Tuple[int, ...] = (256,) * 4
+    weight_norm: bool = True
+    multires_view: int = 1
+
+
+@dataclass(unsafe_hash=True)
+class DensityConfig:
+    """Laplace CDF density (reference volsdf/model/density.py:16-30)."""
+    beta_init: float = 0.1
+    beta_min: float = 1e-4
+
+
+@dataclass(unsafe_hash=True)
+class RaySamplerConfig:
+    """Error-bound sampler (reference volsdf/model/ray_sampler.py:46-66;
+    values from config/vol/dtu.yaml + ours.yaml near=1e-4 override)."""
+    near: float = 1e-4
+    N_samples: int = 64
+    N_samples_eval: int = 128
+    N_samples_extra: int = 32
+    eps: float = 0.1
+    beta_iters: int = 10
+    max_total_iters: int = 5
+    inverse_sphere_bg: bool = False
+    N_samples_inverse_sphere: int = 0
+    add_tiny: float = 0.0
+
+
+@dataclass(unsafe_hash=True)
+class BGNetworkConfig:
+    """NeRF++ background nets (reference config/vol/bmvs.yaml bg_network)."""
+    feature_vector_size: int = 256
+    implicit: ImplicitNetConfig = field(default_factory=lambda: ImplicitNetConfig(
+        d_in=4, d_out=1, dims=(256,) * 8, geometric_init=False, bias=0.0,
+        skip_in=(4,), weight_norm=False, multires=10))
+    rendering: RenderingNetConfig = field(default_factory=lambda: RenderingNetConfig(
+        mode="nerf", d_in=3, d_out=3, dims=(128,), weight_norm=False,
+        multires_view=4))
+
+
+@dataclass(unsafe_hash=True)
+class ModelConfig:
+    """VolSDF network (reference volsdf/model/network.py:192-295)."""
+    feature_vector_size: int = 256
+    scene_bounding_sphere: float = 3.0
+    white_bkgd: bool = False
+    bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    with_background: bool = False  # True => VolSDFNetworkBG (BMVS)
+    implicit: ImplicitNetConfig = field(default_factory=ImplicitNetConfig)
+    rendering: RenderingNetConfig = field(default_factory=RenderingNetConfig)
+    density: DensityConfig = field(default_factory=DensityConfig)
+    sampler: RaySamplerConfig = field(default_factory=RaySamplerConfig)
+    bg: BGNetworkConfig = field(default_factory=BGNetworkConfig)
+
+
+@dataclass(unsafe_hash=True)
+class LossConfig:
+    """VolSDFLoss weights (reference volsdf/model/loss.py:15-28 +
+    config/ours.yaml loss overrides)."""
+    eikonal_weight: float = 0.1
+    rgb_weight: float = 1.0
+    mvs_weight: float = 1.0
+    sparse_weight: float = 1.0
+    confi: float = 1e-3
+    gce: float = 0.5
+    anneal_rgb: int = 200
+
+
+@dataclass(unsafe_hash=True)
+class TrainConfig:
+    """Per-scene optimization (reference config/vol/dtu.yaml train +
+    ours.yaml overrides)."""
+    expname: str = "ours"
+    learning_rate: float = 5e-4
+    num_pixels: int = 512          # rays per step (ours.yaml:11)
+    checkpoint_freq: int = 100
+    plot_freq: int = 500
+    render_freq: int = 500
+    split_n_pixels: int = 10000    # chunk for full-image render
+    grad_clip: bool = True
+
+
+@dataclass(unsafe_hash=True)
+class DatasetConfig:
+    data_dir: str = "DTU"          # 'DTU' | 'BlendedMVS'
+    img_res: Tuple[int, int] = (576, 768)
+    scan_id: int = 114
+    num_views: int = 3
+    data_dir_root: str = "data_s_volsdf"
+
+
+# --------------------------------------------------------------------------
+# MVS / pipeline configs (reference config/base.yaml)
+# --------------------------------------------------------------------------
+
+@dataclass(unsafe_hash=True)
+class MVSConfig:
+    model_name: str = "casmvsnet"  # casmvsnet | ucsnet | transmvsnet
+    ndepths: Tuple[int, ...] = (192, 32, 8)
+    depth_inter_r: Tuple[float, ...] = (1.0, 0.5, 0.5)
+    numdepth: int = 192
+    interval_scale: float = 1.06
+    share_cr: bool = False
+    cr_base_chs: Tuple[int, ...] = (8, 8, 8)
+    grad_method: str = "detach"
+    x2_mvsres: bool = True         # upscale images x2 for MVS
+    fea_base_channels: int = 8
+
+
+@dataclass(unsafe_hash=True)
+class FilterConfig:
+    """Point-cloud fusion (reference config/base.yaml:52-58)."""
+    conf: float = 0.0
+    filter_dist: float = 1.0
+    filter_diff: float = 0.01
+    thres_view: int = 1
+    eval_mask: bool = True
+
+
+@dataclass(unsafe_hash=True)
+class ParallelConfig:
+    """TPU scale-out (new capability; SURVEY.md section 2.9/7)."""
+    mesh_shape: Tuple[int, ...] = (-1,)   # -1 => all local devices
+    mesh_axes: Tuple[str, ...] = ("rays",)
+    shard_rays: bool = True
+
+
+@dataclass(unsafe_hash=True)
+class Config:
+    # general (reference config/base.yaml)
+    num_view: int = 3
+    testlist: str = "scan106"
+    outdir: str = "exps_mvs"
+    exps_folder: str = "exps_vsdf"
+    data_dir_root: str = "data_s_volsdf"
+    max_h: int = 576
+    max_w: int = 768
+    use_mvs: bool = True
+    opt_stepNs: Tuple[int, ...] = (100000, 0, 0)
+    use_nerf_d: Tuple[int, ...] = (1, 0, 0)
+    inverse_depth: bool = False
+    ablate: bool = False
+    filter_only: bool = False
+    num_worker: int = 4
+    is_continue: bool = False
+    seed: int = 0
+
+    mvs: MVSConfig = field(default_factory=MVSConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+
+# --------------------------------------------------------------------------
+# Presets mirroring the reference defaults trees
+# --------------------------------------------------------------------------
+
+def dtu_config() -> Config:
+    """Mirror of config/vol/dtu.yaml + config/ours.yaml."""
+    cfg = Config()
+    cfg.train.expname = "ours"
+    cfg.train.num_pixels = 512
+    cfg.train.render_freq = 500
+    cfg.train.split_n_pixels = 500
+    return cfg
+
+
+def bmvs_config() -> Config:
+    """Mirror of config/vol/bmvs.yaml + config/ours.yaml."""
+    cfg = dtu_config()
+    cfg.dataset.data_dir = "BlendedMVS"
+    cfg.dataset.scan_id = 1
+    cfg.model.with_background = True
+    cfg.model.implicit.sphere_scale = 1.0
+    cfg.model.sampler.inverse_sphere_bg = True
+    cfg.model.sampler.N_samples_inverse_sphere = 32
+    cfg.model.sampler.add_tiny = 1e-6
+    return cfg
+
+
+def per_scene_overrides(cfg: Config, scene: str) -> Config:
+    """Per-scan hyperparameter tweaks (reference runner.py:46-67)."""
+    cfg = dataclasses.replace(cfg)  # shallow copy of top level
+    cfg.loss = dataclasses.replace(cfg.loss)
+    if cfg.dataset.data_dir == "DTU":
+        if scene == "scan37":
+            cfg.loss.sparse_weight = 0.1
+        elif scene == "scan24":
+            cfg.loss.sparse_weight = 0.0
+    elif cfg.dataset.data_dir == "BlendedMVS":
+        if scene in ("scan2", "scan3", "scan7", "scan9"):
+            cfg.loss.sparse_weight = 0.0
+        if scene in ("scan1", "scan2", "scan5", "scan6", "scan8", "scan9"):
+            cfg.inverse_depth = True
+    return cfg
+
+
+# --------------------------------------------------------------------------
+# YAML + dotted CLI override machinery
+# --------------------------------------------------------------------------
+
+_PRESETS = {"dtu": dtu_config, "bmvs": bmvs_config, "default": Config}
+
+
+def _coerce(value: str, current: Any) -> Any:
+    """Parse a CLI string into the type of the existing field value."""
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        parsed = yaml.safe_load(value)
+        if not isinstance(parsed, (list, tuple)):
+            parsed = [parsed]
+        return tuple(parsed)
+    return value
+
+
+def apply_override(cfg: Any, dotted_key: str, value: str) -> None:
+    """Set `cfg.<dotted.key> = value` with type coercion."""
+    parts = dotted_key.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    current = getattr(obj, parts[-1])
+    setattr(obj, parts[-1], _coerce(value, current))
+
+
+def _apply_dict(cfg: Any, d: dict, prefix: str = "") -> None:
+    for k, v in d.items():
+        if isinstance(v, dict) and dataclasses.is_dataclass(getattr(cfg, k, None)):
+            _apply_dict(getattr(cfg, k), v)
+        else:
+            current = getattr(cfg, k)
+            if isinstance(current, tuple) and isinstance(v, list):
+                v = tuple(v)
+            setattr(cfg, k, v)
+
+
+def load_config(preset: str = "dtu", yaml_path: Optional[str] = None,
+                overrides: Optional[List[str]] = None) -> Config:
+    """Build a Config from a preset, optional YAML file, and CLI overrides.
+
+    `overrides` are `key.subkey=value` strings (hydra-style UX,
+    reference README.md:40-42).
+    """
+    cfg = _PRESETS[preset]()
+    if yaml_path and os.path.exists(yaml_path):
+        with open(yaml_path) as f:
+            _apply_dict(cfg, yaml.safe_load(f) or {})
+    for ov in overrides or []:
+        key, _, value = ov.partition("=")
+        apply_override(cfg, key.strip(), value.strip())
+    return cfg
+
+
+def save_config(cfg: Config, path: str) -> None:
+    """Snapshot config to YAML (reference vsdf.py:71-72, runner.py:113-115)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

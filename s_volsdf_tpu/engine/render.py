@@ -1,0 +1,73 @@
+"""Chunked full-image rendering (the eval path).
+
+Replaces the reference's split_input/merge_output pixel chunking
+(/root/reference/volsdf/utils/general.py:24-59, vsdf.py:237-287) with a
+jit-compiled fixed-chunk render: all chunks share one compiled program,
+the host loop just feeds pixel blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s_volsdf_tpu.config import Config, ModelConfig
+from s_volsdf_tpu.models.network import render_rays
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fast"))
+def _render_chunk(params, uv, pose, intrinsics, rng, *, cfg: ModelConfig,
+                  fast: int):
+    out = render_rays(params, cfg, uv, pose, intrinsics, rng,
+                      training=False, fast=fast)
+    return {
+        "rgb_values": out.rgb_values,
+        "depth_values": out.depth_values,
+        "normal_map": out.normal_map,
+        "acc": out.acc,
+    }
+
+
+def render_image(params, cfg: ModelConfig, pose, intrinsics,
+                 img_res: Tuple[int, int], *, chunk: int = 2048,
+                 fast: int = -1, rng=None) -> Dict[str, np.ndarray]:
+    """Render a full image by fixed-size ray chunks.
+
+    pose/intrinsics: (4, 4). Returns host numpy maps:
+    rgb (H, W, 3), depth (H, W), normal (H, W, 3), acc (H, W).
+    The pixel grid matches the reference's uv convention
+    (scene_dataset.py:227-229: x = column, y = row).
+    """
+    H, W = img_res
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    ys, xs = np.mgrid[0:H, 0:W]
+    uv = np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float32)
+    n = uv.shape[0]
+    n_pad = (-n) % chunk
+    uv = np.concatenate([uv, np.zeros((n_pad, 2), np.float32)], axis=0)
+
+    pose_b = jnp.asarray(pose)[None]
+    intr_b = jnp.asarray(intrinsics)[None]
+
+    outs = []
+    for i in range(0, uv.shape[0], chunk):
+        uv_c = jnp.asarray(uv[i:i + chunk])[None]
+        outs.append(jax.tree.map(
+            np.asarray,
+            _render_chunk(params, uv_c, pose_b, intr_b, rng,
+                          cfg=cfg, fast=fast)))
+
+    def cat(key, shape):
+        x = np.concatenate([o[key].reshape(chunk, -1) for o in outs])[:n]
+        return x.reshape(shape)
+
+    return {
+        "rgb": cat("rgb_values", (H, W, 3)),
+        "depth": cat("depth_values", (H, W)),
+        "normal": cat("normal_map", (H, W, 3)),
+        "acc": cat("acc", (H, W)),
+    }

@@ -1,0 +1,116 @@
+"""VolSDF training loss: RGB L1 + eikonal + MVS GCE + sparsity/anneal.
+
+Parity with /root/reference/volsdf/model/loss.py:15-115. Everything is
+a pure function of (outputs, ground truth, iter_step) so the annealing
+schedule is traced — iter_step is a scalar array, the anneal gates are
+`where`s, and the whole loss jit-fuses with the render.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+from s_volsdf_tpu.config import LossConfig
+
+
+class LossOutput(NamedTuple):
+    loss: jnp.ndarray
+    rgb_loss: jnp.ndarray
+    eikonal_loss: jnp.ndarray
+    mvs_loss: jnp.ndarray
+    sparse_loss: jnp.ndarray
+    psnr: jnp.ndarray
+
+
+def _rgb_l1(rgb_values, rgb_gt):
+    """L1 reduction='mean' (loss.py:29, 46-47)."""
+    return jnp.mean(jnp.abs(rgb_values - rgb_gt))
+
+
+def _rgb_l1_gated(rgb_values, rgb_gt, pi, pj, t):
+    """Low-confidence-gated L1 vs blurred GT (loss.py:38-45)."""
+    confi = jnp.sum(pi * pj, axis=-1)
+    per_ray = jnp.mean(jnp.abs(rgb_values - rgb_gt), axis=-1)
+    return jnp.mean(per_ray * (confi < t))
+
+
+def _eikonal(grad_theta):
+    """(||grad|| - 1)^2 (loss.py:49-51)."""
+    return jnp.mean((jnp.linalg.norm(grad_theta, axis=1) - 1.0) ** 2)
+
+
+def _mvs_gce(pi, pj, w, gce: float, confi_thresh: float):
+    """Generalized cross-entropy against the MVS probability volume
+    (loss.py:53-67). pi: same-view prob, pj: other-view prob sums."""
+    pw = pi * pj
+    if gce == 1.0:
+        per_sample = -pw * w
+    elif gce == 0.0:
+        per_sample = -pw * jnp.log(w + 1e-8)
+    else:
+        per_sample = -pw * lax.stop_gradient(w) ** gce * jnp.log(w + 1e-8)
+    per_ray = jnp.sum(per_sample, axis=1)
+    gate = (jnp.sum(pw, axis=1) > confi_thresh).astype(per_ray.dtype)
+    return jnp.mean(gate * per_ray)
+
+
+def _sparse(pi, pj, depth, confi_thresh: float):
+    """Penalize small depth on low-confidence rays (loss.py:69-78)."""
+    confi = jnp.sum(pi * pj, axis=-1)
+    per_ray = 1.0 / (depth.squeeze() + 1e-3)
+    return jnp.mean(per_ray * (confi < confi_thresh))
+
+
+def compute_loss(cfg: LossConfig, outputs: Dict, rgb_gt, rgb_smooth,
+                 iter_step, *, use_mvs: bool) -> LossOutput:
+    """Total loss (loss.py:80-114).
+
+    outputs must contain rgb_values, grad_theta, weights, depth_values
+    and — when use_mvs — pi, pj from cost_mapping.
+    iter_step: scalar int array (traced; drives the anneal).
+    """
+    rgb_gt = rgb_gt.reshape(-1, 3)
+    rgb_values = outputs["rgb_values"]
+
+    rgb_loss = _rgb_l1(rgb_values, rgb_gt)
+    eik_loss = _eikonal(outputs["grad_theta"])
+
+    zero = jnp.asarray(0.0, dtype=rgb_loss.dtype)
+    mvs_loss = zero
+    sparse_loss = zero
+
+    anneal_active = (cfg.sparse_weight > 0.0) and (cfg.anneal_rgb > 0)
+    if use_mvs and cfg.mvs_weight > 0.0:
+        mvs_loss = _mvs_gce(outputs["pi"], outputs["pj"],
+                            outputs["weights"], cfg.gce, cfg.confi)
+
+    anneal_sparse = zero
+    if use_mvs and anneal_active:
+        in_anneal = iter_step < cfg.anneal_rgb
+        sparse_loss = jnp.where(
+            in_anneal,
+            _sparse(outputs["pi"], outputs["pj"], outputs["depth_values"],
+                    cfg.confi),
+            zero)
+        # Linear 1 -> 0 decay over anneal_rgb steps (loss.py:8-13, 104).
+        t = iter_step.astype(rgb_loss.dtype) / cfg.anneal_rgb
+        anneal_sparse = jnp.where(in_anneal, jnp.maximum(1.0 - t, 0.0), zero)
+        # During anneal the RGB target switches to the blurred GT gated
+        # to low-confidence rays (loss.py:105).
+        rgb_loss_anneal = _rgb_l1_gated(
+            rgb_values, rgb_smooth.reshape(-1, 3),
+            outputs["pi"], outputs["pj"], t=1e-8)
+        rgb_loss = jnp.where(in_anneal, rgb_loss_anneal, rgb_loss)
+
+    total = (cfg.rgb_weight * rgb_loss
+             + cfg.eikonal_weight * eik_loss
+             + cfg.mvs_weight * mvs_loss
+             + cfg.sparse_weight * anneal_sparse * sparse_loss)
+
+    mse = jnp.mean((rgb_values - rgb_gt) ** 2)
+    psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
+
+    return LossOutput(total, rgb_loss, eik_loss, mvs_loss, sparse_loss, psnr)

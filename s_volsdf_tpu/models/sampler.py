@@ -1,0 +1,232 @@
+"""Ray samplers: uniform + VolSDF error-bound (Algorithm 1).
+
+Behavioral rebuild of /root/reference/volsdf/model/ray_sampler.py under
+XLA static-shape constraints:
+
+  * The reference runs a data-dependent `while not_converge` loop with
+    a global early exit (ray_sampler.py:83-136). Here the iteration
+    count is STATIC (`n_iters = fast if fast >= 0 else max_total_iters`,
+    matching the train/eval budgets at vsdf.py:205-206), with the final
+    iteration always taking the "final sample set" branch. Rays that
+    converge early simply keep refining — their error-bound pdf is
+    already tiny so extra samples stay near the surface; distributional
+    behavior matches the reference while every shape stays static.
+  * torch.sort of concatenated (z, sdf) pairs becomes argsort + gather
+    so SDF values are never recomputed for old samples
+    (ray_sampler.py:90-93).
+  * searchsorted-based inverse CDF is a branchless comparison-sum
+    (ops/inverse_cdf.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s_volsdf_tpu.config import RaySamplerConfig
+from s_volsdf_tpu.models.density import laplace_density
+from s_volsdf_tpu.ops.inverse_cdf import pdf_to_cdf, sample_pdf_from_cdf
+from s_volsdf_tpu.utils.cameras import get_sphere_intersections
+
+
+class SamplerOutput(NamedTuple):
+    z_vals: jnp.ndarray            # (R, N_final) sorted
+    z_samples_eik: jnp.ndarray     # (R, 1) random near-surface z
+    z_vals_bg: Optional[jnp.ndarray]  # (R, N_bg) or None
+
+
+def uniform_z_vals(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc, far,
+                   n_samples: int, training: bool,
+                   take_sphere_intersection: bool,
+                   scene_bounding_sphere: float):
+    """UniformSampler.get_z_vals (ray_sampler.py:15-43)."""
+    R = ray_dirs.shape[0]
+    near = jnp.full((R, 1), cfg.near, dtype=ray_dirs.dtype)
+    if take_sphere_intersection:
+        sph = get_sphere_intersections(cam_loc, ray_dirs,
+                                       r=scene_bounding_sphere)
+        far_v = sph[:, 1:]
+    else:
+        far_v = jnp.full((R, 1), far, dtype=ray_dirs.dtype)
+
+    t_vals = jnp.linspace(0.0, 1.0, n_samples, dtype=ray_dirs.dtype)
+    z_vals = near * (1.0 - t_vals) + far_v * t_vals
+    if training:
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(rng, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * t_rand
+    return z_vals
+
+
+def _d_star(z_vals, sdf):
+    """Per-interval min-distance bound d* (Theorem 1,
+    ray_sampler.py:98-111)."""
+    d = sdf
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    a, b, c = dists, jnp.abs(d[:, :-1]), jnp.abs(d[:, 1:])
+    first = a ** 2 + b ** 2 <= c ** 2
+    second = a ** 2 + c ** 2 <= b ** 2
+    s = (a + b + c) / 2.0
+    area = s * (s - a) * (s - b) * (s - c)
+    height = 2.0 * jnp.sqrt(jnp.maximum(area, 0.0)) / jnp.maximum(a, 1e-12)
+    inner = (~first) & (~second) & (b + c - a > 0)
+    d_star = jnp.where(first, b, 0.0)
+    d_star = jnp.where(second, c, d_star)
+    d_star = jnp.where(inner, height, d_star)
+    # Zero out intervals where the SDF changes sign.
+    same_sign = jnp.sign(d[:, 1:]) * jnp.sign(d[:, :-1]) == 1
+    return jnp.where(same_sign, d_star, 0.0)
+
+
+def _error_bound(beta, sdf, z_vals, dists, d_star):
+    """Max per-ray opacity error bound (ray_sampler.py:221-229).
+    beta: (R, 1)."""
+    density = laplace_density(sdf, beta)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(dists[:, :1]), dists * density[:, :-1]], axis=-1)
+    integral_estimation = jnp.cumsum(shifted, axis=-1)
+    error_per_section = jnp.exp(-d_star / beta) * (dists ** 2) / (4 * beta ** 2)
+    error_integral = jnp.cumsum(error_per_section, axis=-1)
+    bound_opacity = (jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0) \
+        * jnp.exp(-integral_estimation[:, :-1])
+    return jnp.max(bound_opacity, axis=-1)
+
+
+def _weights(z_vals, sdf, beta):
+    """alpha-compositing weights under per-ray beta
+    (ray_sampler.py:126-132). Returns (weights, dists, transmittance)."""
+    density = laplace_density(sdf, beta)
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    dists_inf = jnp.concatenate(
+        [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1)
+    free_energy = dists_inf * density
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(free_energy[:, :1]), free_energy[:, :-1]], axis=-1)
+    alpha = 1.0 - jnp.exp(-free_energy)
+    transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    return alpha * transmittance, dists, transmittance
+
+
+def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
+                       sdf_fn, beta0, *, n_iters: int, training: bool,
+                       scene_bounding_sphere: float) -> SamplerOutput:
+    """ErrorBoundSampler.get_z_vals with a static iteration schedule.
+
+    Args:
+      sdf_fn: points (M, 3) -> sdf (M,) (no gradient needed; the
+        reference wraps this eval in no_grad, ray_sampler.py:88-89).
+      beta0: scalar current density beta (already stop-gradient'd).
+      n_iters: static loop count; the reference uses 1 in training
+        (fast=1, vsdf.py:205) and max_total_iters=5 at eval.
+    """
+    far = 2.0 * scene_bounding_sphere
+    R = ray_dirs.shape[0]
+    k_uniform, k_final, k_extra, k_eik, k_bg = jax.random.split(rng, 5)
+
+    def eval_sdf(z):
+        pts = cam_loc[:, None, :] + z[..., None] * ray_dirs[:, None, :]
+        return sdf_fn(pts.reshape(-1, 3)).reshape(z.shape)
+
+    z_vals = uniform_z_vals(
+        k_uniform, cfg, ray_dirs, cam_loc, far, cfg.N_samples_eval,
+        training, cfg.inverse_sphere_bg, scene_bounding_sphere)
+    sdf = eval_sdf(z_vals)
+
+    # Beta upper bound from Lemma 2 (ray_sampler.py:76-78).
+    dists0 = z_vals[:, 1:] - z_vals[:, :-1]
+    log_eps1 = math.log(cfg.eps + 1.0)
+    bound = (1.0 / (4.0 * log_eps1)) * jnp.sum(dists0 ** 2, axis=-1)
+    beta = jnp.sqrt(bound)
+
+    samples = None
+    for it in range(n_iters):
+        d_star = _d_star(z_vals, sdf)
+        dists = z_vals[:, 1:] - z_vals[:, :-1]
+
+        # Bisection line search for minimal beta with error <= eps
+        # (ray_sampler.py:114-123).
+        curr_error = _error_bound(beta0[None, None], sdf, z_vals, dists, d_star)
+        beta = jnp.where(curr_error <= cfg.eps, beta0, beta)
+        beta_lo = jnp.full_like(beta, beta0)
+        beta_hi = beta
+        for _ in range(cfg.beta_iters):
+            beta_mid = 0.5 * (beta_lo + beta_hi)
+            err = _error_bound(beta_mid[:, None], sdf, z_vals, dists, d_star)
+            ok = err <= cfg.eps
+            beta_hi = jnp.where(ok, beta_mid, beta_hi)
+            beta_lo = jnp.where(ok, beta_lo, beta_mid)
+        beta = beta_hi
+
+        weights, dists_inf, transmittance = _weights(z_vals, sdf, beta[:, None])
+
+        last = it == n_iters - 1
+        if not last:
+            # Refine: sample proportional to the error bound
+            # (ray_sampler.py:139-151).
+            error_per_section = (jnp.exp(-d_star / beta[:, None])
+                                 * (dists ** 2) / (4 * beta[:, None] ** 2))
+            error_integral = jnp.cumsum(error_per_section, axis=-1)
+            bound_opacity = (jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0) \
+                * transmittance[:, :-1]
+            pdf = bound_opacity + cfg.add_tiny
+            cdf = pdf_to_cdf(pdf)
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, cfg.N_samples_eval), (R, cfg.N_samples_eval))
+            new_samples = sample_pdf_from_cdf(z_vals, cdf, u)
+            new_sdf = eval_sdf(new_samples)
+            z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
+            s_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+            order = jnp.argsort(z_cat, axis=-1)
+            z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
+            sdf = jnp.take_along_axis(s_cat, order, axis=-1)
+        else:
+            # Final sample set (ray_sampler.py:154-163).
+            pdf = weights[..., :-1] + 1e-5
+            cdf = pdf_to_cdf(pdf)
+            if training:
+                u = jax.random.uniform(k_final, (R, cfg.N_samples))
+            else:
+                u = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, cfg.N_samples), (R, cfg.N_samples))
+            samples = sample_pdf_from_cdf(z_vals, cdf, u)
+
+    # Extra samples + near/far (ray_sampler.py:195-208).
+    near_col = jnp.full((R, 1), cfg.near, dtype=z_vals.dtype)
+    if cfg.inverse_sphere_bg:
+        far_col = get_sphere_intersections(
+            cam_loc, ray_dirs, r=scene_bounding_sphere)[:, 1:]
+    else:
+        far_col = jnp.full((R, 1), far, dtype=z_vals.dtype)
+
+    K = z_vals.shape[1]
+    if cfg.N_samples_extra > 0:
+        if training:
+            idx = jax.random.permutation(k_extra, K)[: cfg.N_samples_extra]
+        else:
+            idx = jnp.linspace(0, K - 1, cfg.N_samples_extra).astype(jnp.int32)
+        z_extra = jnp.concatenate([near_col, far_col, z_vals[:, idx]], axis=-1)
+    else:
+        z_extra = jnp.concatenate([near_col, far_col], axis=-1)
+
+    z_final = jnp.sort(jnp.concatenate([samples, z_extra], axis=-1), axis=-1)
+
+    # Random near-surface z for the eikonal loss (ray_sampler.py:210-212).
+    eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
+    z_samples_eik = jnp.take_along_axis(z_final, eik_idx, axis=-1)
+
+    z_bg = None
+    if cfg.inverse_sphere_bg:
+        # Background samples in inverted-sphere coords
+        # (ray_sampler.py:214-217): uniform in [0,1], scaled by 1/R.
+        bg_cfg = RaySamplerConfig(near=0.0)
+        z_bg = uniform_z_vals(
+            k_bg, bg_cfg, ray_dirs, cam_loc, 1.0,
+            cfg.N_samples_inverse_sphere, training, False, 1.0)
+        z_bg = z_bg * (1.0 / scene_bounding_sphere)
+
+    return SamplerOutput(z_final, z_samples_eik, z_bg)

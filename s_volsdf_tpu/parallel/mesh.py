@@ -1,0 +1,39 @@
+"""Device mesh construction for ray/scene parallelism.
+
+The reference is single-GPU (SURVEY.md section 2.9); scale-out here is a
+new capability: rays of one scene shard over the 'rays' mesh axis via
+ICI, independent scenes go to independent processes/slices (replacing
+the reference's mp.Pool at runner.py:420-432).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Sequence[int] = (-1,),
+              axis_names: Sequence[str] = ("rays",),
+              devices: Optional[list] = None) -> Mesh:
+    """Build a Mesh; -1 in `shape` absorbs all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = n // known
+    total = int(np.prod(shape))
+    mesh_devices = np.asarray(devices[:total]).reshape(shape)
+    return Mesh(mesh_devices, tuple(axis_names))
+
+
+def ray_sharding(mesh: Mesh, axis: str = "rays") -> NamedSharding:
+    """Shard the leading (ray) axis of a (B, N, ...) batch."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

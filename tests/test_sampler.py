@@ -1,0 +1,88 @@
+"""Tests for the error-bound ray sampler under static shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s_volsdf_tpu.config import RaySamplerConfig
+from s_volsdf_tpu.models.sampler import (error_bound_sample, uniform_z_vals)
+
+
+def _rays(R=8):
+    cam = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -2.5]), (R, 3))
+    # Rays fanning toward the origin.
+    t = jnp.linspace(-0.2, 0.2, R)
+    dirs = jnp.stack([t, jnp.zeros_like(t), jnp.ones_like(t)], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dirs, cam
+
+
+def sphere_sdf(pts, radius=0.7):
+    return jnp.linalg.norm(pts, axis=-1) - radius
+
+
+def test_uniform_sampler_bounds_and_sorted():
+    cfg = RaySamplerConfig()
+    dirs, cam = _rays()
+    z = uniform_z_vals(jax.random.PRNGKey(0), cfg, dirs, cam, 6.0, 128,
+                       False, False, 3.0)
+    assert z.shape == (8, 128)
+    assert np.all(np.diff(np.asarray(z), axis=-1) >= 0)
+    np.testing.assert_allclose(np.asarray(z[:, 0]), cfg.near, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z[:, -1]), 6.0, atol=1e-5)
+
+
+def test_error_bound_sampler_shapes_train():
+    """Train mode (fast=1): final count = N_samples + N_extra + 2
+    (ray_sampler.py final concat; 64+32+2 = 98)."""
+    cfg = RaySamplerConfig()
+    dirs, cam = _rays()
+    out = error_bound_sample(
+        jax.random.PRNGKey(0), cfg, dirs, cam, sphere_sdf,
+        jnp.asarray(0.1), n_iters=1, training=True,
+        scene_bounding_sphere=3.0)
+    assert out.z_vals.shape == (8, cfg.N_samples + cfg.N_samples_extra + 2)
+    assert np.all(np.diff(np.asarray(out.z_vals), axis=-1) >= 0)
+    assert out.z_samples_eik.shape == (8, 1)
+    assert out.z_vals_bg is None
+
+
+def test_error_bound_sampler_eval_iters():
+    """Eval mode: 5 refinement iterations, same final static shape."""
+    cfg = RaySamplerConfig()
+    dirs, cam = _rays()
+    out = error_bound_sample(
+        jax.random.PRNGKey(0), cfg, dirs, cam, sphere_sdf,
+        jnp.asarray(0.1), n_iters=5, training=False,
+        scene_bounding_sphere=3.0)
+    assert out.z_vals.shape == (8, 98)
+    z = np.asarray(out.z_vals)
+    assert np.all(np.diff(z, axis=-1) >= 0)
+
+
+def test_sampler_concentrates_near_surface():
+    """Samples should cluster around the sphere intersection."""
+    cfg = RaySamplerConfig()
+    dirs, cam = _rays(R=4)
+    out = error_bound_sample(
+        jax.random.PRNGKey(1), cfg, dirs, cam, sphere_sdf,
+        jnp.asarray(0.02), n_iters=5, training=False,
+        scene_bounding_sphere=3.0)
+    z = np.asarray(out.z_vals)
+    # Ray 0 hits the sphere around t = 2.5 - 0.7 = 1.8 (center ray ~).
+    # Count samples within +-0.3 of the surface band [1.7, 2.0].
+    frac_near = np.mean((z > 1.4) & (z < 2.4), axis=-1)
+    assert frac_near.mean() > 0.4, frac_near
+
+
+def test_sampler_bg_samples():
+    cfg = RaySamplerConfig(inverse_sphere_bg=True,
+                           N_samples_inverse_sphere=32, add_tiny=1e-6)
+    dirs, cam = _rays()
+    out = error_bound_sample(
+        jax.random.PRNGKey(0), cfg, dirs, cam, sphere_sdf,
+        jnp.asarray(0.1), n_iters=1, training=True,
+        scene_bounding_sphere=3.0)
+    assert out.z_vals_bg.shape == (8, 32)
+    bg = np.asarray(out.z_vals_bg)
+    assert bg.min() >= 0.0 and bg.max() <= 1.0 / 3.0 + 1e-6

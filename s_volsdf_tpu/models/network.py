@@ -105,11 +105,19 @@ def sdf_feat_grad(params, cfg: ModelConfig, x: jnp.ndarray,
 def sdf_gradient(params, cfg: ModelConfig, x: jnp.ndarray,
                  bounding_sphere: float) -> jnp.ndarray:
     """d sdf/dx for eikonal points (network.py:90-103). NOTE: the
-    reference's `gradient()` differentiates the UNCLAMPED sdf."""
-    def sdf_only(pts):
-        return jnp.sum(sdf_mlp_raw(params, cfg, pts)[..., :1])
+    reference's `gradient()` differentiates the UNCLAMPED sdf.
+
+    Formulated as vmap(grad(pointwise)) rather than grad(sum(batch)):
+    mathematically identical for a pointwise MLP, but the grad-of-sum
+    form triggers a TPU XLA fusion-pass crash (SIGILL in
+    TpuPriorityFusionQueue) when differentiated a second time for the
+    eikonal loss."""
     del bounding_sphere
-    return jax.grad(sdf_only)(x)
+
+    def sdf_single(pt):
+        return sdf_mlp_raw(params, cfg, pt[None])[0, 0]
+
+    return jax.vmap(jax.grad(sdf_single))(x)
 
 
 # --------------------------------------------------------------------------

@@ -41,15 +41,23 @@ def init_train_state(cfg: Config, params, tx) -> TrainState:
 
 def _loss_fn(params, cfg: Config, batch: Dict, rng,
              mvs: Optional[MVSVolumes], iter_step):
-    out = render_rays(
-        params, cfg.model, batch["uv"], batch["pose"],
-        batch["intrinsics"], rng, training=True, fast=1)
+    if cfg.model.with_background:
+        from s_volsdf_tpu.models.network_bg import render_rays_bg
+        out = render_rays_bg(
+            params, cfg.model, batch["uv"], batch["pose"],
+            batch["intrinsics"], rng, training=True, fast=1)
+    else:
+        out = render_rays(
+            params, cfg.model, batch["uv"], batch["pose"],
+            batch["intrinsics"], rng, training=True, fast=1)
     outputs = {
         "rgb_values": out.rgb_values,
         "depth_values": out.depth_values,
         "weights": out.weights,
         "grad_theta": out.grad_theta,
     }
+    if cfg.model.with_background:
+        outputs["depth_values_all"] = out.depth_values_all
     use_mvs = mvs is not None
     if use_mvs:
         pj, pi, _ = cost_mapping(

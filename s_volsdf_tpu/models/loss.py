@@ -58,7 +58,9 @@ def _mvs_gce(pi, pj, w, gce: float, confi_thresh: float):
 
 
 def _sparse(pi, pj, depth, confi_thresh: float):
-    """Penalize small depth on low-confidence rays (loss.py:69-78)."""
+    """Penalize small depth on low-confidence rays (loss.py:69-78).
+    `depth` is depth_values_all when a background model is active
+    (loss.py:72-75)."""
     confi = jnp.sum(pi * pj, axis=-1)
     per_ray = 1.0 / (depth.squeeze() + 1e-3)
     return jnp.mean(per_ray * (confi < confi_thresh))
@@ -90,10 +92,11 @@ def compute_loss(cfg: LossConfig, outputs: Dict, rgb_gt, rgb_smooth,
     anneal_sparse = zero
     if use_mvs and anneal_active:
         in_anneal = iter_step < cfg.anneal_rgb
+        sparse_depth = outputs.get("depth_values_all",
+                                   outputs["depth_values"])
         sparse_loss = jnp.where(
             in_anneal,
-            _sparse(outputs["pi"], outputs["pj"], outputs["depth_values"],
-                    cfg.confi),
+            _sparse(outputs["pi"], outputs["pj"], sparse_depth, cfg.confi),
             zero)
         # Linear 1 -> 0 decay over anneal_rgb steps (loss.py:8-13, 104).
         t = iter_step.astype(rgb_loss.dtype) / cfg.anneal_rgb

@@ -3,7 +3,9 @@
 Replaces the reference's split_input/merge_output pixel chunking
 (/root/reference/volsdf/utils/general.py:24-59, vsdf.py:237-287) with a
 jit-compiled fixed-chunk render: all chunks share one compiled program,
-the host loop just feeds pixel blocks.
+the host loop just feeds pixel blocks. Supports both the foreground
+model and the NeRF++ background model (with the nearest-training-view
+direction trick, network_bg.py:70-75).
 """
 
 from __future__ import annotations
@@ -32,9 +34,25 @@ def _render_chunk(params, uv, pose, intrinsics, rng, *, cfg: ModelConfig,
     }
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "fast"))
+def _render_chunk_bg(params, uv, pose, intrinsics, near_pose, rng, *,
+                     cfg: ModelConfig, fast: int):
+    from s_volsdf_tpu.models.network_bg import render_rays_bg
+    out = render_rays_bg(params, cfg, uv, pose, intrinsics, rng,
+                         training=False, fast=fast, near_pose=near_pose)
+    return {
+        "rgb_values": out.rgb_values,
+        "depth_values": out.depth_values,
+        "normal_map": out.normal_map,
+        "acc": out.acc,
+    }
+
+
 def render_image(params, cfg: ModelConfig, pose, intrinsics,
                  img_res: Tuple[int, int], *, chunk: int = 2048,
-                 fast: int = -1, rng=None) -> Dict[str, np.ndarray]:
+                 fast: int = -1, rng=None, with_background: bool = False,
+                 near_pose: Optional[np.ndarray] = None
+                 ) -> Dict[str, np.ndarray]:
     """Render a full image by fixed-size ray chunks.
 
     pose/intrinsics: (4, 4). Returns host numpy maps:
@@ -52,14 +70,19 @@ def render_image(params, cfg: ModelConfig, pose, intrinsics,
 
     pose_b = jnp.asarray(pose)[None]
     intr_b = jnp.asarray(intrinsics)[None]
+    near_b = jnp.asarray(near_pose)[None] if near_pose is not None else None
 
     outs = []
     for i in range(0, uv.shape[0], chunk):
         uv_c = jnp.asarray(uv[i:i + chunk])[None]
-        outs.append(jax.tree.map(
-            np.asarray,
-            _render_chunk(params, uv_c, pose_b, intr_b, rng,
-                          cfg=cfg, fast=fast)))
+        if with_background:
+            np_b = near_b if near_b is not None else pose_b
+            o = _render_chunk_bg(params, uv_c, pose_b, intr_b, np_b, rng,
+                                 cfg=cfg, fast=fast)
+        else:
+            o = _render_chunk(params, uv_c, pose_b, intr_b, rng,
+                              cfg=cfg, fast=fast)
+        outs.append(jax.tree.map(np.asarray, o))
 
     def cat(key, shape):
         x = np.concatenate([o[key].reshape(chunk, -1) for o in outs])[:n]

@@ -1,0 +1,280 @@
+"""Scene pipeline orchestrator — the reference `runner.py` rebuilt.
+
+save_scene_depth (reference runner.py:111-299): per scene,
+  (a) run the frozen MVS cascade stage-by-stage (features once, cost
+      volume per stage per reference view),
+  (b) at stages with opt budget, hook the probability volumes into the
+      VolSDF trainer, optimize, render VolSDF depth for each training
+      view and feed it back as the next stage's hypothesis center,
+  (c) save per-view depth/confidence PFMs + cams + images,
+then fuse the depths into a point cloud (pcd_filter).
+
+TPU design: each MVS stage is one jitted program; VolSDF optimization
+is the scan-fused trainer; scenes are embarrassingly parallel across
+hosts (the reference used mp.Pool only for CPU fusion,
+runner.py:420-432 — fusion here is vectorized numpy and fast).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Dict, List, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s_volsdf_tpu.config import Config, per_scene_overrides
+from s_volsdf_tpu.data.io import save_pfm, write_cam
+from s_volsdf_tpu.data.mvs_dataset import MVSDataset
+from s_volsdf_tpu.data.scene_dataset import load_scene
+from s_volsdf_tpu.data.splits import get_eval_ids, get_trains_ids
+from s_volsdf_tpu.engine.fusion import filter_depth
+from s_volsdf_tpu.engine.trainer import VolTrainer
+from s_volsdf_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+# --------------------------------------------------------------------------
+# MVS engine dispatcher (reference runner.py:128-154, 184-207)
+# --------------------------------------------------------------------------
+
+class MVSEngine:
+    """Uniform wrapper over the three cascade models. Weights come from
+    a converted-checkpoint npz (tools/convert_ckpt.py) or random init
+    (tests/CI)."""
+
+    def __init__(self, cfg: Config, weights_path: Optional[str] = None,
+                 rng_seed: int = 0):
+        self.cfg = cfg
+        self.name = cfg.mvs.model_name
+        ndepths = cfg.mvs.ndepths
+        key = jax.random.PRNGKey(rng_seed)
+        if self.name == "casmvsnet":
+            from s_volsdf_tpu.models.mvs import casmvsnet as M
+            self.params = M.init_casmvsnet(key, ndepths=ndepths,
+                                           cr_base_chs=cfg.mvs.cr_base_chs)
+            self._features = functools.partial(M.casmvsnet_features)
+            self._stage = M.casmvsnet_stage
+        elif self.name == "ucsnet":
+            from s_volsdf_tpu.models.mvs import ucsnet as M
+            self.params = M.init_ucsnet(key, stage_configs=ndepths)
+            self._features = functools.partial(M.ucsnet_features)
+            self._stage = M.ucsnet_stage
+        elif self.name == "transmvsnet":
+            from s_volsdf_tpu.models.mvs import transmvsnet as M
+            self.params = M.init_transmvsnet(key, ndepths=ndepths,
+                                             cr_base_chs=cfg.mvs.cr_base_chs)
+            self._features = functools.partial(M.transmvsnet_features)
+            self._stage = M.transmvsnet_stage
+        else:
+            raise NotImplementedError(self.name)
+
+        if weights_path and os.path.exists(weights_path):
+            from s_volsdf_tpu.utils import checkpoint as ckpt
+            self.params, _ = ckpt.load_state(weights_path, self.params)
+            logger.info(f"loaded MVS weights from {weights_path}")
+        else:
+            logger.warning(
+                f"MVS model '{self.name}' running with RANDOM weights "
+                f"(no checkpoint at {weights_path}); convert a torch "
+                f"ckpt with tools/convert_ckpt.py for real runs")
+
+    def features(self, imgs: jnp.ndarray) -> List[Dict]:
+        return self._features(self.params, imgs)
+
+    def stage(self, stage_idx: int, features, proj, depth_values,
+              prev_depth, extra, img_hw, inverse_depth: bool):
+        """Returns (outputs, extra). `extra` threads UCSNet variance /
+        TransMVSNet view weights between stages (runner.py:201-203)."""
+        cfg = self.cfg
+        if self.name == "casmvsnet":
+            out = self._stage(self.params, stage_idx, features, proj,
+                              depth_values, prev_depth, img_hw,
+                              ndepths=cfg.mvs.ndepths,
+                              depth_inter_r=cfg.mvs.depth_inter_r,
+                              inverse_depth=inverse_depth)
+            return out, None
+        if self.name == "ucsnet":
+            out = self._stage(self.params, stage_idx, features, proj,
+                              depth_values, prev_depth, extra, img_hw,
+                              stage_configs=cfg.mvs.ndepths,
+                              inverse_depth=inverse_depth)
+            return out, out["variance"]
+        out, vw = self._stage(self.params, stage_idx, features, proj,
+                              depth_values, prev_depth, extra, img_hw,
+                              ndepths=cfg.mvs.ndepths,
+                              depth_inter_r=cfg.mvs.depth_inter_r,
+                              inverse_depth=inverse_depth)
+        return out, vw
+
+
+# --------------------------------------------------------------------------
+# Scene pipeline (reference runner.py:111-299)
+# --------------------------------------------------------------------------
+
+def save_scene_depth(cfg: Config, scene_name: str, *,
+                     mvs_weights: Optional[str] = None,
+                     exps_root: str = ".") -> Dict:
+    """Run the interleaved 3-stage MVS/VolSDF pipeline for one scene
+    and save depth/confidence/cams/images under cfg.outdir."""
+    outdir = os.path.join(exps_root, cfg.outdir)
+    os.makedirs(os.path.join(outdir, scene_name), exist_ok=True)
+    from s_volsdf_tpu.config import save_config
+    save_config(cfg, os.path.join(outdir, scene_name, "args.yaml"))
+
+    trains_i = get_trains_ids(cfg.dataset.data_dir, scene_name,
+                              cfg.num_view)
+    mvs_datapath = os.path.join(cfg.data_dir_root, cfg.dataset.data_dir,
+                                "mvs_data")
+    dataset = MVSDataset(
+        datapath=mvs_datapath, scan=scene_name, nviews=cfg.num_view,
+        data_dir=cfg.dataset.data_dir, ndepths=cfg.mvs.numdepth,
+        interval_scale=(cfg.mvs.interval_scale
+                        if cfg.dataset.data_dir == "DTU" else 1.0),
+        max_h=cfg.max_h, max_w=cfg.max_w, trains_i=trains_i,
+        data_dir_root=cfg.data_dir_root, x2_mvsres=cfg.mvs.x2_mvsres)
+
+    engine = MVSEngine(cfg, weights_path=mvs_weights)
+
+    scene = load_scene(cfg.dataset.data_dir,
+                       (cfg.dataset.img_res[0], cfg.dataset.img_res[1]),
+                       int(scene_name[4:]), cfg.num_view,
+                       cfg.data_dir_root)
+    trainer = VolTrainer(cfg, scene, scene_name, exps_root=exps_root,
+                         is_continue=cfg.is_continue)
+    assert trainer.trains_i == trains_i
+
+    img_n = len(dataset)
+    samples = [dataset[i] for i in range(img_n)]
+    outs_samples: List[Optional[Dict]] = [None] * img_n
+    extras: List = [None] * img_n
+    epoch = 0
+
+    for stage_idx in range(3):
+        t0 = time.time()
+        outs: List[Dict] = [None] * img_n
+        new_extras: List = [None] * img_n
+        for i, s in enumerate(samples):
+            imgs = jnp.asarray(s.imgs)
+            feats = engine.features(imgs)
+            prev_depth = None
+            if stage_idx > 0 and outs_samples[i] is not None:
+                prev_depth = jnp.asarray(outs_samples[i]["depth"])
+            out, extra = engine.stage(
+                stage_idx, feats,
+                jnp.asarray(s.proj_matrices[f"stage{stage_idx + 1}"]),
+                jnp.asarray(s.depth_values), prev_depth, extras[i],
+                (s.imgs.shape[1], s.imgs.shape[2]),
+                inverse_depth=cfg.inverse_depth and stage_idx == 0)
+            out = {k: v for k, v in out.items()}
+            out[f"stage{stage_idx + 1}_confidence"] = \
+                out["photometric_confidence"]
+            outs[i] = jax.tree.map(np.asarray, out)
+            new_extras[i] = extra
+        logger.info(f"stage {stage_idx}: cost volumes in "
+                    f"{time.time() - t0:.1f}s")
+
+        if cfg.ablate:
+            for i in range(img_n):
+                if outs_samples[i] is None:
+                    outs_samples[i] = {}
+                outs_samples[i].update(outs[i])
+                outs_samples[i][f"stage{stage_idx + 1}"] = outs[i]
+                extras[i] = new_extras[i]
+            continue
+
+        do_volopt = (cfg.opt_stepNs[stage_idx] > 0
+                     and cfg.use_nerf_d[stage_idx] > 0)
+        if do_volopt:
+            trainer.stg = stage_idx
+            trainer.get_mvs_input(outs)
+            if cfg.opt_stepNs[stage_idx] > 1:
+                epoch = trainer.run(cfg.opt_stepNs[stage_idx])
+            logger.info("rendering VolSDF depth for cascade feedback")
+            for i, vid in enumerate(trains_i):
+                depth = trainer.render_mvs(vid)
+                # Feed back at the MVS working resolution
+                # (runner.py:239-243: replaces outputs['depth']).
+                Hm, Wm = samples[i].imgs.shape[1:3]
+                depth_mvs = cv2.resize(depth, (Wm, Hm),
+                                       interpolation=cv2.INTER_LINEAR)
+                outs[i]["depth"] = depth_mvs
+
+        for i in range(img_n):
+            if outs_samples[i] is None:
+                outs_samples[i] = {}
+            outs_samples[i].update(outs[i])
+            outs_samples[i][f"stage{stage_idx + 1}"] = outs[i]
+            extras[i] = new_extras[i]
+
+    # ---- save outputs (runner.py:251-295) ----
+    for i, s in enumerate(samples):
+        outputs = outs_samples[i]
+        depth_est = np.asarray(outputs["depth"], np.float32)
+        H, W = depth_est.shape
+        conf1 = cv2.resize(
+            np.asarray(outputs["stage1"]["photometric_confidence"]), (W, H))
+        conf2 = cv2.resize(
+            np.asarray(outputs["stage2"]["photometric_confidence"]), (W, H))
+        conf3 = cv2.resize(
+            np.asarray(outputs["stage3"]["photometric_confidence"]), (W, H))
+        conf_final = conf1 * conf2 * conf3
+
+        fn = outputs.get("filename", s.filename)
+        save_pfm(os.path.join(outdir, s.filename.format("depth_est", ".pfm")),
+                 depth_est)
+        save_pfm(os.path.join(outdir,
+                              s.filename.format("confidence", ".pfm")),
+                 conf_final.astype(np.float32))
+        cam = np.asarray(s.proj_matrices["stage3"][0])
+        write_cam(os.path.join(outdir, s.filename.format("cams", "_cam.txt")),
+                  cam, s.cam_near_far)
+        img = (np.clip(s.imgs[0], 0, 1) * 255).astype(np.uint8)
+        img_path = os.path.join(outdir, s.filename.format("images", ".jpg"))
+        os.makedirs(os.path.dirname(img_path), exist_ok=True)
+        cv2.imwrite(img_path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    logger.info(f"scene {scene_name}: outputs saved to {outdir}")
+    return {"trainer": trainer, "outdir": outdir, "epoch": epoch}
+
+
+def pcd_filter(cfg: Config, testlist: List[str], exps_root: str = ".") -> List[str]:
+    """Fusion over scenes (reference runner.py:406-432 used mp.Pool;
+    vectorized fusion makes a plain loop faster than fork overhead)."""
+    outdir = os.path.join(exps_root, cfg.outdir)
+    plys = []
+    for scan in testlist:
+        scan_id = int(scan[4:])
+        trains_i = get_trains_ids(cfg.dataset.data_dir, scan, cfg.num_view)
+        ply = os.path.join(outdir, f"mvsnet{scan_id:03d}_l3.ply")
+        eval_mask_dir = None
+        if cfg.filter.eval_mask:
+            d = os.path.join(cfg.data_dir_root, cfg.dataset.data_dir,
+                             "eval_mask", scan)
+            eval_mask_dir = d if os.path.isdir(d) else None
+        filter_depth(os.path.join(outdir, scan), os.path.join(outdir, scan),
+                     ply, trains_i, conf_thresh=cfg.filter.conf,
+                     thres_view=cfg.filter.thres_view,
+                     filter_dist=cfg.filter.filter_dist,
+                     filter_diff=cfg.filter.filter_diff,
+                     eval_mask_dir=eval_mask_dir)
+        plys.append(ply)
+    return plys
+
+
+def save_depth(cfg: Config, testlist: List[str], *,
+               mvs_weights: Optional[str] = None,
+               exps_root: str = ".") -> None:
+    """Per-scene loop with per-scan overrides (runner.py:46-71)."""
+    for scene in testlist:
+        scene_cfg = per_scene_overrides(cfg, scene)
+        logger.info(
+            f"{scene}: sparse_weight={scene_cfg.loss.sparse_weight} "
+            f"inverse_depth={scene_cfg.inverse_depth}")
+        save_scene_depth(scene_cfg, scene, mvs_weights=mvs_weights,
+                         exps_root=exps_root)

@@ -1,0 +1,260 @@
+"""Per-scene VolSDF trainer — the reference's `VolOpt` rebuilt TPU-first.
+
+Key departures from /root/reference/volsdf/vsdf.py:18-367:
+  * The scene's images live in HBM; pixel batches are sampled ON DEVICE
+    inside a lax.scan'd step chunk, so the 100k-step optimization runs
+    as a handful of XLA program invocations instead of 100k Python
+    dispatches (the reference pays a host->GPU transfer per step,
+    vsdf.py:200-203).
+  * State is a pytree (params, opt state, iter counter) checkpointed
+    with orbax instead of torch .pth pairs.
+  * Rendering for cascade feedback uses the jitted chunked renderer.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from datetime import datetime
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s_volsdf_tpu.config import Config
+from s_volsdf_tpu.data.scene_dataset import SceneData
+from s_volsdf_tpu.engine.render import render_image
+from s_volsdf_tpu.engine.train_step import (TrainState, _loss_fn,
+                                            init_train_state, make_optimizer)
+from s_volsdf_tpu.models.loss import LossOutput
+from s_volsdf_tpu.models.network import init_volsdf_params
+from s_volsdf_tpu.models.network_bg import init_volsdf_bg_params
+from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
+from s_volsdf_tpu.utils import checkpoint as ckpt
+from s_volsdf_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def make_scan_train_fn(cfg: Config, tx, *, use_mvs: bool, n_views: int,
+                       img_res: Tuple[int, int]):
+    """Build a jitted function running len(rngs) optimization steps
+    with on-device pixel sampling (replaces vsdf.py:196-235 + the
+    host DataLoader). One compiled program per distinct chunk length."""
+    H, W = img_res
+    total_pixels = H * W
+    n_rays = cfg.train.num_pixels
+
+    import optax
+
+    def one_step(scene, mvs, state, rng):
+        k_view, k_pix, k_step = jax.random.split(rng, 3)
+        view = jax.random.randint(k_view, (), 0, n_views)
+        pix = jax.random.randint(k_pix, (n_rays,), 0, total_pixels)
+
+        ys = (pix // W).astype(jnp.float32)
+        xs = (pix % W).astype(jnp.float32)
+        uv = jnp.stack([xs, ys], axis=-1)
+
+        batch = {
+            "uv": uv[None],
+            "rgb": scene["rgb"][view][pix][None],
+            "rgb_smooth": scene["rgb_smooth"][view][pix][None],
+            "pose": scene["poses"][view][None],
+            "intrinsics": scene["intrinsics"][view][None],
+            "view_onehot": jax.nn.one_hot(view, n_views),
+        }
+        grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
+            state.params, cfg, batch, k_step,
+            mvs if use_mvs else None, state.iter_step)
+
+        leaves = jax.tree_util.tree_leaves(grads)
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in leaves]))
+        finite = finite & jnp.isfinite(loss_out.loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_params, state.params)
+        new_opt = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_opt, state.opt_state)
+        new_state = TrainState(new_params, new_opt, state.iter_step + 1)
+        return new_state, loss_out
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state: TrainState, rngs, scene: Dict,
+                  mvs: Optional[MVSVolumes]
+                  ) -> Tuple[TrainState, LossOutput]:
+        step = lambda carry, rng: one_step(scene, mvs, carry, rng)
+        return jax.lax.scan(step, state, rngs)
+
+    return run_chunk
+
+
+class VolTrainer:
+    """Per-scene optimizer (reference VolOpt, vsdf.py:18-126)."""
+
+    def __init__(self, cfg: Config, scene: SceneData, scan: str,
+                 exps_root: str = ".", is_continue: bool = False,
+                 chunk_steps: int = 200):
+        self.cfg = cfg
+        self.scene = scene
+        self.scan = scan
+        self.chunk_steps = chunk_steps
+        self.stg = 2
+
+        # Experiment dirs (vsdf.py:54-72).
+        self.expname = f"{cfg.train.expname}_{scan[4:]}"
+        self.expdir = os.path.join(exps_root, cfg.exps_folder, self.expname)
+        self.timestamp = "{:%Y_%m_%d_%H_%M_%S}".format(datetime.now())
+        if is_continue:
+            prev = sorted(os.listdir(self.expdir)) \
+                if os.path.isdir(self.expdir) else []
+            if prev:
+                self.timestamp = prev[-1]
+        self.rundir = os.path.join(self.expdir, self.timestamp)
+        self.plots_dir = os.path.join(self.rundir, "plots")
+        self.checkpoints_path = os.path.join(self.rundir, "checkpoints")
+        os.makedirs(self.plots_dir, exist_ok=True)
+        os.makedirs(self.checkpoints_path, exist_ok=True)
+
+        from s_volsdf_tpu.config import save_config
+        save_config(cfg, os.path.join(self.rundir, "run.yaml"))
+
+        # Model + optimizer.
+        key = jax.random.PRNGKey(cfg.seed)
+        if cfg.model.with_background:
+            params = init_volsdf_bg_params(key, cfg.model)
+        else:
+            params = init_volsdf_params(key, cfg.model)
+        self.tx = make_optimizer(cfg)
+        self.state = init_train_state(cfg, params, self.tx)
+        self.epoch = 0
+
+        if is_continue:
+            self.load_checkpoint()
+
+        self.trains_i = scene.trains_ids()
+        self.scale_factor = scene.scale_factor
+        self.mvs: Optional[MVSVolumes] = None
+        self._loops: Dict[bool, tuple] = {}
+        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    # ---------------- checkpointing (vsdf.py:128-194) ----------------
+
+    def save_checkpoint(self, label: str = "latest"):
+        ckpt.save_state(os.path.join(self.checkpoints_path, label),
+                        self.state, epoch=self.epoch)
+
+    def load_checkpoint(self, label: str = "latest"):
+        path = os.path.join(self.checkpoints_path, label)
+        if os.path.exists(path):
+            self.state, meta = ckpt.load_state(path, self.state)
+            self.epoch = meta.get("epoch", 0)
+            logger.info(f"resumed from {path} at step "
+                        f"{int(self.state.iter_step)}")
+
+    # ---------------- MVS coupling (vsdf.py:369-380) ----------------
+
+    def get_mvs_input(self, outs: List[Dict]):
+        """Stack per-view prob volumes + hypothesis slabs into device-
+        resident MVSVolumes."""
+        probs, slabs = [], []
+        r = self.cfg.model.scene_bounding_sphere
+        for i in range(len(outs)):
+            prob = jnp.asarray(outs[i]["prob_volume"])       # (D, Hc, Wc)
+            dvals = jnp.asarray(outs[i]["depth_values"]) / self.scale_factor
+            near = jnp.minimum(dvals[0], r)                   # clamp near
+            far = dvals[-1]
+            probs.append(prob)
+            slabs.append(jnp.stack([near, far], axis=0))
+        V = len(outs)
+        K = jnp.asarray(self.scene.intrinsics[self.trains_i])
+        c2w = jnp.asarray(self.scene.poses[self.trains_i])
+        self.mvs = MVSVolumes(
+            prob=jnp.stack(probs), z_slab=jnp.stack(slabs),
+            intrinsics=K, c2w=c2w, img_res=self.scene.img_res,
+            inverse_depth=bool(self.cfg.inverse_depth) and self.stg == 0)
+        return self.mvs
+
+    # ---------------- optimization loop (vsdf.py:322-367) -----------
+
+    def _get_loop(self, use_mvs: bool):
+        if use_mvs not in self._loops:
+            self._loops[use_mvs] = make_scan_train_fn(
+                self.cfg, self.tx, use_mvs=use_mvs,
+                n_views=len(self.trains_i), img_res=self.scene.img_res)
+        return self._loops[use_mvs]
+
+    def run(self, opt_stepN: int, log_every: int = 1000) -> int:
+        """Optimize for opt_stepN steps; returns the epoch counter
+        (epoch = one pass over the train views, as in vsdf.py:331)."""
+        use_mvs = bool(self.cfg.use_mvs and self.mvs is not None)
+        run_chunk = self._get_loop(use_mvs)
+
+        ti = self.trains_i
+        scene_dev = {
+            "rgb": jnp.asarray(self.scene.rgb[ti]),
+            "rgb_smooth": jnp.asarray(self.scene.rgb_smooth[ti]),
+            "poses": jnp.asarray(self.scene.poses[ti]),
+            "intrinsics": jnp.asarray(self.scene.intrinsics[ti]),
+        }
+        mvs_dev = self.mvs if use_mvs else None
+
+        start = int(self.state.iter_step)
+        done = 0
+        logger.info(f"train volsdf at {self.checkpoints_path}: "
+                    f"start={start} steps={opt_stepN} use_mvs={use_mvs}")
+        next_log = log_every
+        while done < opt_stepN:
+            # Full-size chunks share one compiled program; a short tail
+            # chunk costs one extra compile only on tiny runs.
+            n = min(self.chunk_steps, opt_stepN - done)
+            self.rng, sub = jax.random.split(self.rng)
+            rngs = jax.random.split(sub, n)
+            self.state, losses = run_chunk(self.state, rngs, scene_dev,
+                                           mvs_dev)
+            done += n
+            if done >= next_log or done >= opt_stepN:
+                last = jax.tree.map(lambda x: float(x[-1]), losses)
+                logger.info(
+                    f"step {start + done}: loss={last.loss:.4f} "
+                    f"rgb={last.rgb_loss:.4f} eik={last.eikonal_loss:.4f} "
+                    f"mvs={last.mvs_loss:.4f} psnr={last.psnr:.2f}")
+                next_log += log_every
+            if (done // self.chunk_steps) % 50 == 0:
+                self.save_checkpoint()
+        self.epoch += max(1, opt_stepN // max(len(ti), 1))
+        self.save_checkpoint()
+        return self.epoch
+
+    # ---------------- rendering (vsdf.py:237-320) -------------------
+
+    def render_view(self, view_idx: int, *, res_scale: float = 1.0,
+                    fast: int = -1) -> Dict[str, np.ndarray]:
+        H, W = self.scene.img_res
+        out_res = (int(H * res_scale), int(W * res_scale))
+        intr = self.scene.intrinsics[view_idx].copy()
+        intr[0, :] *= res_scale
+        intr[1, :] *= res_scale
+        near_pose = self.scene.near_pose(view_idx)
+        maps = render_image(
+            self.state.params, self.cfg.model, self.scene.poses[view_idx],
+            intr, out_res, chunk=4096, fast=fast,
+            with_background=self.cfg.model.with_background,
+            near_pose=near_pose)
+        return maps
+
+    def render_mvs(self, view_idx: int) -> np.ndarray:
+        """Full-res depth of a training view for cascade feedback
+        (vsdf.py:310-320 + 267-270): depth * scale_factor, low-
+        accumulation pixels pushed to the far depth."""
+        maps = self.render_view(view_idx, fast=-1)
+        depth = maps["depth"] * self.scale_factor
+        acc = maps["acc"]
+        far = depth.max()
+        depth = np.where(acc < 0.2, far, depth)
+        return depth.astype(np.float32)

@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""BlendedMVS Chamfer evaluation CLI (reference evals/eval_bmvs.py).
+
+  python evals/eval_bmvs.py --datadir exps_mvs --scan 4 \
+      --data_dir_root data_s_volsdf
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--data_dir_root", type=str, default="data_s_volsdf")
+    p.add_argument("--scan", type=int, default=-1)
+    p.add_argument("--no_crop", action="store_true")
+    args = p.parse_args()
+
+    from s_volsdf_tpu.engine.eval_geo import eval_bmvs_scan
+
+    scans = list(range(1, 10)) if args.scan < 0 else [args.scan]
+    print("ply_name, chamfer(mm)")
+    results = []
+    for scan in scans:
+        ply = os.path.join(args.datadir, f"mvsnet{scan:03d}_l3.ply")
+        if not os.path.exists(ply):
+            print(f"scan{scan} MISSING {ply}")
+            continue
+        r = eval_bmvs_scan(ply, scan, args.data_dir_root,
+                           no_crop=args.no_crop)
+        print(f"mvsnet{scan:03d}_l3.ply {r['overall']:.2f}")
+        results.append(r["overall"])
+    if results:
+        print(f"mean {np.mean(results):.3f}")
+
+
+if __name__ == "__main__":
+    main()

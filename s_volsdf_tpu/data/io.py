@@ -70,8 +70,10 @@ def save_pfm(filename: str, image: np.ndarray, scale: float = 1.0) -> None:
 # --------------------------------------------------------------------------
 
 def save_ply(filename: str, xyz: np.ndarray,
-             rgb: Optional[np.ndarray] = None) -> None:
-    """xyz: (N, 3) float; rgb: (N, 3) uint8 or None."""
+             rgb: Optional[np.ndarray] = None,
+             faces: Optional[np.ndarray] = None) -> None:
+    """xyz: (N, 3) float; rgb: (N, 3) uint8 or None; faces: (M, 3)
+    int or None (triangle mesh)."""
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
     n = xyz.shape[0]
     with open(filename, "wb") as f:
@@ -81,6 +83,9 @@ def save_ply(filename: str, xyz: np.ndarray,
         if rgb is not None:
             header += ["property uchar red", "property uchar green",
                        "property uchar blue"]
+        if faces is not None:
+            header += [f"element face {faces.shape[0]}",
+                       "property list uchar int vertex_indices"]
         header += ["end_header"]
         f.write(("\n".join(header) + "\n").encode())
         if rgb is None:
@@ -91,6 +96,13 @@ def save_ply(filename: str, xyz: np.ndarray,
             rec["x"], rec["y"], rec["z"] = xyz.T.astype(np.float32)
             rec["r"], rec["g"], rec["b"] = rgb.T.astype(np.uint8)
             rec.tofile(f)
+        if faces is not None:
+            m = faces.shape[0]
+            frec = np.empty(m, dtype=[("n", "u1"), ("a", "<i4"),
+                                      ("b", "<i4"), ("c", "<i4")])
+            frec["n"] = 3
+            frec["a"], frec["b"], frec["c"] = faces.T.astype(np.int32)
+            frec.tofile(f)
 
 
 def load_ply(filename: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:

@@ -1,0 +1,150 @@
+"""Chamfer-distance geometry evaluation (DTU / BlendedMVS protocol).
+
+Rebuild of /root/reference/evals/eval_dtu.py and eval_bmvs.py using
+scipy cKDTree (the reference uses sklearn KD-trees + open3d IO; neither
+changes the numbers):
+  * greedy 0.2 mm radius downsampling of the prediction,
+  * optional DTU ObsMask / bounding-box / ground-plane crops from the
+    official .mat files,
+  * acc = mean pred->GT NN distance, comp = mean GT->pred, both with
+    outliers above 20 mm dropped, overall = (acc + comp) / 2,
+  * BMVS: both clouds divided by the per-scan `relative_scale` to land
+    in DTU-comparable millimeter units (eval_bmvs.py:115-116, 190-197).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from s_volsdf_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+# eval_bmvs.py:115
+BMVS_RELATIVE_SCALE = {
+    1: 0.0010051393651899145, 2: 0.0015733906993148704,
+    3: 0.0012326845045689896, 4: 0.0015294108512811993,
+    5: 0.007349738091050388, 6: 0.01192223325424887,
+    7: 0.001284409757598681, 8: 0.0014762879597404273,
+    9: 0.022978406132555827,
+}
+
+
+def downsample_radius(points: np.ndarray, radius: float = 0.2,
+                      rng: Optional[np.random.Generator] = None
+                      ) -> np.ndarray:
+    """Greedy radius downsampling (eval_dtu.py:100-116): shuffle, then
+    keep a point iff no already-kept point lies within `radius`."""
+    rng = rng or np.random.default_rng(0)
+    pts = points.copy()
+    rng.shuffle(pts, axis=0)
+    tree = cKDTree(pts)
+    mask = np.ones(pts.shape[0], dtype=bool)
+    neighbors = tree.query_ball_point(pts, r=radius, workers=-1)
+    for cur, idxs in enumerate(neighbors):
+        if mask[cur]:
+            mask[idxs] = False
+            mask[cur] = True
+    return pts[mask]
+
+
+def apply_dtu_crops(points: np.ndarray, obsmask_file: str, patch: float = 60
+                    ) -> np.ndarray:
+    """Official DTU ObsMask + bounding box crop (eval_dtu.py:119-132)."""
+    from scipy.io import loadmat
+    m = loadmat(obsmask_file)
+    ObsMask, BB, Res = m["ObsMask"], m["BB"].astype(np.float32), m["Res"]
+    inbound = (((points >= BB[:1] - patch)
+                & (points < BB[1:] + patch * 2)).sum(-1) == 3)
+    data_in = points[inbound]
+    grid = np.around((data_in - BB[:1]) / Res).astype(np.int32)
+    grid_in = (((grid >= 0)
+                & (grid < np.expand_dims(ObsMask.shape, 0))).sum(-1) == 3)
+    gi = grid[grid_in]
+    in_obs = ObsMask[gi[:, 0], gi[:, 1], gi[:, 2]].astype(bool)
+    return data_in[grid_in][in_obs], data_in
+
+
+def crop_above_plane(points: np.ndarray, plane_file: str) -> np.ndarray:
+    """Keep GT points above the ground plane (eval_dtu.py:149-166)."""
+    from scipy.io import loadmat
+    P = loadmat(plane_file)["P"]
+    hom = np.concatenate([points, np.ones_like(points[:, :1])], -1)
+    above = (P.reshape(1, 4) * hom).sum(-1) > 0
+    return points[above]
+
+
+def chamfer(data_pcd: np.ndarray, stl_pcd: np.ndarray, *,
+            max_dist: float = 20.0, downsample: float = 0.2,
+            obsmask_file: Optional[str] = None,
+            plane_file: Optional[str] = None) -> Dict[str, float]:
+    """Chamfer (mm): acc = pred->GT, comp = GT->pred, 20 mm clip."""
+    if downsample > 0:
+        data_pcd = downsample_radius(data_pcd, downsample)
+
+    if obsmask_file is not None and os.path.exists(obsmask_file):
+        data_in_obs, data_in = apply_dtu_crops(data_pcd, obsmask_file)
+    else:
+        data_in_obs = data_in = data_pcd
+
+    stl_eval = stl_pcd
+    if plane_file is not None and os.path.exists(plane_file):
+        stl_eval = crop_above_plane(stl_pcd, plane_file)
+
+    tree_stl = cKDTree(stl_pcd)
+    d2s, _ = tree_stl.query(data_in_obs, k=1, workers=-1)
+    acc = float(d2s[d2s < max_dist].mean()) if d2s.size else float("inf")
+
+    tree_data = cKDTree(data_in)
+    s2d, _ = tree_data.query(stl_eval, k=1, workers=-1)
+    comp = float(s2d[s2d < max_dist].mean()) if s2d.size else float("inf")
+
+    return {"acc": acc, "comp": comp, "overall": (acc + comp) / 2.0}
+
+
+def eval_dtu_scan(pred_ply: str, scan: int, dataset_dir: str,
+                  **kwargs) -> Dict[str, float]:
+    """Official DTU protocol for one scan (eval_dtu.py:92-197).
+    dataset_dir must hold ObsMask/ObsMask{scan}_10.mat,
+    ObsMask/Plane{scan}.mat, Points/stl/stl{scan:03}_total.ply."""
+    from s_volsdf_tpu.data.io import load_ply
+    data_pcd, _ = load_ply(pred_ply)
+    stl, _ = load_ply(os.path.join(dataset_dir, "Points", "stl",
+                                   f"stl{scan:03d}_total.ply"))
+    obsmask = os.path.join(dataset_dir, "ObsMask", f"ObsMask{scan}_10.mat")
+    plane_scan = 83 if scan == 82 else scan  # eval_dtu.py:149-152
+    plane = os.path.join(dataset_dir, "ObsMask", f"Plane{plane_scan}.mat")
+    res = chamfer(data_pcd, stl, obsmask_file=obsmask, plane_file=plane,
+                  **kwargs)
+    logger.info(f"scan{scan:03d} acc={res['acc']:.2f} "
+                f"comp={res['comp']:.2f} overall={res['overall']:.2f}")
+    return res
+
+
+def eval_bmvs_scan(pred_ply: str, scan: int, data_dir_root: str,
+                   no_crop: bool = False, **kwargs) -> Dict[str, float]:
+    """BMVS protocol (eval_bmvs.py:121-251): rescale both clouds by
+    relative_scale, scan-5 scale_mat fix, same chamfer constants."""
+    from s_volsdf_tpu.data.io import load_ply
+    data_pcd, _ = load_ply(pred_ply)
+
+    if scan == 5:
+        cam_file = os.path.join(data_dir_root, "BlendedMVS", "scan5",
+                                "cameras.npz")
+        scale_mat = np.load(cam_file)["scale_mat_0"]
+        hom = np.concatenate([data_pcd, np.ones_like(data_pcd[:, :1])], -1)
+        data_pcd = (hom @ scale_mat.T)[:, :3]
+
+    suffix = "" if no_crop else "_crop"
+    gt_path = os.path.join(data_dir_root, "BlendedMVS", "stl",
+                           f"scan{scan}{suffix}.ply")
+    gt_pcd, _ = load_ply(gt_path)
+
+    s = BMVS_RELATIVE_SCALE[scan]
+    res = chamfer(data_pcd / s, gt_pcd / s, **kwargs)
+    logger.info(f"bmvs scan{scan} overall={res['overall']:.2f}")
+    return res

@@ -1,0 +1,182 @@
+"""Novel-view rendering evaluation + mesh export.
+
+Rebuild of /root/reference/eval_vsdf.py:27-281:
+  * checkpoint discovery (newest run dir containing the checkpoint),
+  * --eval_rendering: render each eval view, save eval_XXX.png /
+    normal_XXX.png / depth_est/XXXXXXXX.pfm (scaled by scale_factor),
+  * --result_from default|blend: masked PSNR / SSIM / LPIPS over the
+    saved renders,
+  * --eval_mesh: marching-tetrahedra surface from the SDF, transformed
+    by the scene scale_mat, largest connected component kept.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s_volsdf_tpu.config import Config
+from s_volsdf_tpu.data.io import save_pfm, save_ply
+from s_volsdf_tpu.data.scene_dataset import SceneData, load_scene
+from s_volsdf_tpu.data.splits import get_eval_ids, get_trains_ids
+from s_volsdf_tpu.engine.mesh import (extract_mesh_by_grid,
+                                      extract_mesh_high_res,
+                                      largest_component)
+from s_volsdf_tpu.engine.render import render_image
+from s_volsdf_tpu.engine.train_step import init_train_state, make_optimizer
+from s_volsdf_tpu.models.network import init_volsdf_params, sdf_values
+from s_volsdf_tpu.models.network_bg import init_volsdf_bg_params
+from s_volsdf_tpu.utils import checkpoint as ckpt
+from s_volsdf_tpu.utils.logging import get_logger
+from s_volsdf_tpu.utils.metrics import masked_psnr, ssim
+
+logger = get_logger()
+
+
+def find_checkpoint(expdir: str, checkpoint: str = "latest") -> Optional[str]:
+    """Newest timestamped run containing the checkpoint
+    (eval_vsdf.py:40-59)."""
+    if not os.path.isdir(expdir):
+        return None
+    for ts in sorted(os.listdir(expdir), reverse=True):
+        path = os.path.join(expdir, ts, "checkpoints", checkpoint)
+        if os.path.exists(os.path.join(path, "state.npz")):
+            return path
+    return None
+
+
+def load_trained_params(cfg: Config, ckpt_path: str):
+    key = jax.random.PRNGKey(cfg.seed)
+    if cfg.model.with_background:
+        params = init_volsdf_bg_params(key, cfg.model)
+    else:
+        params = init_volsdf_params(key, cfg.model)
+    tx = make_optimizer(cfg)
+    state = init_train_state(cfg, params, tx)
+    state, _ = ckpt.load_state(ckpt_path, state)
+    return state.params
+
+
+def render_eval_views(cfg: Config, scene: SceneData, params,
+                      images_dir: str, *, include_train: bool = True
+                      ) -> List[int]:
+    """Render all eval (and optionally train) views and save RGB,
+    normal and scaled-depth artifacts (eval_vsdf.py:215-264)."""
+    import imageio.v2 as imageio
+    os.makedirs(os.path.join(images_dir, "depth_est"), exist_ok=True)
+
+    test_idx = scene.eval_ids()
+    if include_train:
+        test_idx = test_idx + scene.trains_ids()[:3]
+
+    for vid in test_idx:
+        maps = render_image(
+            params, cfg.model, scene.poses[vid], scene.intrinsics[vid],
+            scene.img_res, chunk=4096, fast=-1,
+            with_background=cfg.model.with_background,
+            near_pose=scene.near_pose(vid))
+        rgb = np.clip(maps["rgb"], 0, 1)
+        imageio.imwrite(os.path.join(images_dir, f"eval_{vid:03d}.png"),
+                        (rgb * 255).astype(np.uint8))
+        normal = np.clip((maps["normal"] + 1) / 2, 0, 1)
+        imageio.imwrite(os.path.join(images_dir, f"normal_{vid:03d}.png"),
+                        (normal * 255).astype(np.uint8))
+        depth = (maps["depth"] * scene.scale_factor).astype(np.float32)
+        save_pfm(os.path.join(images_dir, "depth_est", f"{vid:08d}.pfm"),
+                 depth)
+        logger.info(f"rendered view {vid} -> {images_dir}")
+    return test_idx
+
+
+def eval_rendered_views(cfg: Config, scene: SceneData, images_dir: str,
+                        result_from: str = "default",
+                        lpips_weights: Optional[str] = None) -> Dict:
+    """Masked PSNR/SSIM/LPIPS over saved renders
+    (eval_vsdf.py:187-212). result_from: 'default' (VolSDF render) or
+    'blend' (IBR output)."""
+    import imageio.v2 as imageio
+    H, W = scene.img_res
+    prefix = "eval_blend_" if result_from == "blend" else "eval_"
+
+    lpips_params = None
+    if lpips_weights:
+        from s_volsdf_tpu.models.lpips import load_lpips
+        lpips_params = load_lpips(lpips_weights)
+        if lpips_params is None:
+            logger.warning(f"no LPIPS weights at {lpips_weights}; "
+                           "LPIPS skipped")
+
+    psnrs, ssims, lpipss = [], [], []
+    for vid in scene.eval_ids():
+        path = os.path.join(images_dir, f"{prefix}{vid:03d}.png")
+        if not os.path.exists(path):
+            continue
+        pred = np.asarray(imageio.imread(path), np.float32)[..., :3] / 255.0
+        pred = pred.reshape(-1, 3)
+        gt = scene.rgb[vid]
+        mask = scene.masks[vid]
+
+        psnrs.append(masked_psnr(pred, gt, mask))
+        # Foreground compositing for SSIM/LPIPS (eval_vsdf.py:202-204).
+        gt_fg = (gt * mask + (1 - mask)).reshape(H, W, 3)
+        pred_fg = (pred * mask + (1 - mask)).reshape(H, W, 3)
+        ssims.append(ssim(pred_fg, gt_fg))
+        if lpips_params is not None:
+            from s_volsdf_tpu.models.lpips import lpips_distance
+            d = lpips_distance(lpips_params, jnp.asarray(pred_fg)[None],
+                               jnp.asarray(gt_fg)[None])
+            lpipss.append(float(d[0]))
+
+    result = {
+        "psnr_mean": float(np.mean(psnrs)) if psnrs else None,
+        "psnr_std": float(np.std(psnrs)) if psnrs else None,
+        "ssim_mean": float(np.mean(ssims)) if ssims else None,
+        "ssim_std": float(np.std(ssims)) if ssims else None,
+        "lpips_mean": float(np.mean(lpipss)) if lpipss else None,
+        "lpips_std": float(np.std(lpipss)) if lpipss else None,
+        "n_views": len(psnrs),
+    }
+    logger.info(f"NVS eval ({result_from}): {result}")
+    return result
+
+
+def export_mesh(cfg: Config, scene: SceneData, params, out_path: str, *,
+                resolution: int = 512,
+                bbs_file: Optional[str] = None) -> Optional[str]:
+    """Marching-tetrahedra mesh from the trained SDF, transformed into
+    world units by the scene scale_mat (eval_vsdf.py:111-150)."""
+    bounding = 0.0 if cfg.model.with_background else \
+        (0.0 if cfg.model.white_bkgd else cfg.model.scene_bounding_sphere)
+
+    sdf_fn = lambda pts: sdf_values(params["sdf"], cfg.model, pts,
+                                    bounding)
+
+    if bbs_file and os.path.exists(bbs_file):
+        # DTU per-scan bounding boxes (eval_vsdf.py:121-136).
+        bbs = np.load(bbs_file)
+        grid_params = bbs[f"scan{scene.scan_id}"]
+        mesh = extract_mesh_by_grid(grid_params, sdf_fn,
+                                    resolution=resolution, higher_res=True)
+    else:
+        mesh = extract_mesh_high_res(
+            sdf_fn, resolution=resolution,
+            grid_boundary=(-cfg.model.scene_bounding_sphere,
+                           cfg.model.scene_bounding_sphere))
+    if mesh is None:
+        logger.warning("no surface found")
+        return None
+    verts, faces = largest_component(*mesh)
+
+    # scale_mat transform to world/metric units (eval_vsdf.py:140-143).
+    if scene.scale_mat is not None:
+        hom = np.concatenate([verts, np.ones_like(verts[:, :1])], axis=-1)
+        verts = (hom @ scene.scale_mat.T)[:, :3]
+
+    save_ply(out_path, verts.astype(np.float32), faces=faces)
+    logger.info(f"mesh saved to {out_path} "
+                f"({verts.shape[0]} verts, {faces.shape[0]} faces)")
+    return out_path

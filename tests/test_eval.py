@@ -1,0 +1,94 @@
+"""Eval stack tests: chamfer protocol, SSIM/PSNR, LPIPS plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s_volsdf_tpu.engine.eval_geo import chamfer, downsample_radius
+from s_volsdf_tpu.utils.metrics import masked_psnr, ssim
+
+
+def sphere_points(n, r, rng, noise=0.0):
+    v = rng.standard_normal((n, 3))
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * r
+    if noise:
+        v = v + rng.standard_normal((n, 3)) * noise
+    return v.astype(np.float32)
+
+
+def test_chamfer_identical_clouds(rng_np):
+    pts = sphere_points(5000, 10.0, rng_np)
+    r = chamfer(pts, pts.copy(), downsample=0.0)
+    assert r["acc"] < 1e-5 and r["comp"] < 1e-5
+
+
+def test_chamfer_known_offset(rng_np):
+    """Two parallel planes distance d apart -> chamfer ~= d."""
+    xy = rng_np.uniform(-50, 50, (20000, 2)).astype(np.float32)
+    a = np.concatenate([xy, np.zeros((20000, 1), np.float32)], 1)
+    b = np.concatenate([xy, np.full((20000, 1), 3.0, np.float32)], 1)
+    r = chamfer(a, b, downsample=0.0)
+    assert abs(r["acc"] - 3.0) < 0.05
+    assert abs(r["comp"] - 3.0) < 0.05
+
+
+def test_chamfer_outlier_clip(rng_np):
+    """Points farther than max_dist are dropped (eval_dtu.py:140-166)."""
+    pts = sphere_points(3000, 10.0, rng_np)
+    outliers = pts[:100] + 500.0
+    pred = np.concatenate([pts, outliers])
+    r = chamfer(pred, pts, downsample=0.0, max_dist=20.0)
+    assert r["acc"] < 1.0  # outliers clipped, not averaged in
+
+
+def test_downsample_radius_spacing(rng_np):
+    pts = rng_np.uniform(0, 10, (5000, 3)).astype(np.float32)
+    down = downsample_radius(pts, radius=1.0)
+    from scipy.spatial import cKDTree
+    tree = cKDTree(down)
+    d, _ = tree.query(down, k=2)
+    assert d[:, 1].min() >= 1.0 - 1e-5  # no two kept points within r
+    assert down.shape[0] < pts.shape[0]
+
+
+def test_ssim_identical_and_noise(rng_np):
+    img = rng_np.random((64, 64, 3)).astype(np.float64)
+    assert abs(ssim(img, img) - 1.0) < 1e-9
+    noisy = np.clip(img + 0.3 * rng_np.standard_normal(img.shape), 0, 1)
+    s = ssim(img, noisy)
+    assert 0.0 < s < 0.7
+
+
+def test_ssim_matches_closed_form_constant_shift():
+    """Uniform images with a luminance shift: SSIM = closed form
+    (2*mu1*mu2 + c1) / (mu1^2 + mu2^2 + c1)."""
+    a = np.full((32, 32), 0.4)
+    b = np.full((32, 32), 0.6)
+    c1 = 0.01 ** 2
+    expected = (2 * 0.4 * 0.6 + c1) / (0.4 ** 2 + 0.6 ** 2 + c1)
+    assert abs(ssim(a, b) - expected) < 1e-6
+
+
+def test_masked_psnr():
+    gt = np.zeros((10, 3))
+    pred = np.zeros((10, 3))
+    pred[5:] = 1.0
+    mask = np.zeros((10, 3))
+    mask[:5] = 1.0
+    # Perfect within the mask -> infinite PSNR (guard with big value).
+    p = masked_psnr(pred, gt, mask)
+    assert p > 60 or np.isinf(p)
+
+
+def test_lpips_shapes_and_zero_distance():
+    from s_volsdf_tpu.models.lpips import (init_lpips_params,
+                                           lpips_distance)
+    params = init_lpips_params(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    d_same = lpips_distance(params, img, img)
+    assert d_same.shape == (1,)
+    assert float(d_same[0]) < 1e-6
+    other = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    d_diff = lpips_distance(params, img, other)
+    assert float(d_diff[0]) > 0

@@ -80,6 +80,21 @@ def install_stubs():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = ops
 
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        sk.img_as_float32 = lambda x: x.astype("float32") / 255.0 \
+            if x.dtype.kind == "u" else x.astype("float32")
+        measure = types.ModuleType("skimage.measure")
+        sk.measure = measure
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.measure"] = measure
+
+    if "imageio" not in sys.modules:
+        try:
+            import imageio  # noqa: F401
+        except ImportError:
+            sys.modules["imageio"] = types.ModuleType("imageio")
+
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
 

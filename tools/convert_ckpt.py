@@ -284,17 +284,60 @@ def convert_transmvsnet(sd: Dict, n_stages: int = 3) -> Dict:
 # our conv3d applies BN from the "bn" subtree, handled above.
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# VolSDF (reference volsdf/model/network.py:10-204). Handles both
+# weight-norm (weight_g/weight_v) and plain (weight) linear layers.
+# --------------------------------------------------------------------------
+
+def _wn_linear(sd: Dict, prefix: str) -> Dict:
+    if f"{prefix}.weight_v" in sd:
+        v = np.asarray(sd[f"{prefix}.weight_v"])       # (out, in)
+        g = np.asarray(sd[f"{prefix}.weight_g"])       # (out, 1)
+        return {"v": linear_w(v), "g": g[:, 0],
+                "b": np.asarray(sd[f"{prefix}.bias"])}
+    # torch >= 2.1 parametrized weight norm
+    if f"{prefix}.parametrizations.weight.original1" in sd:
+        v = np.asarray(sd[f"{prefix}.parametrizations.weight.original1"])
+        g = np.asarray(sd[f"{prefix}.parametrizations.weight.original0"])
+        return {"v": linear_w(v), "g": g.reshape(-1),
+                "b": np.asarray(sd[f"{prefix}.bias"])}
+    return {"w": linear_w(np.asarray(sd[f"{prefix}.weight"])),
+            "b": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def convert_volsdf(sd: Dict, n_sdf_layers: int = 9,
+                   n_rgb_layers: int = 5, with_background: bool = False,
+                   n_bg_sdf_layers: int = 9,
+                   n_bg_rgb_layers: int = 2) -> Dict:
+    """Reference VolSDFNetwork(BG) state_dict -> our param pytree.
+    Layer counts: len(dims)+1 linear layers per MLP."""
+    out = {
+        "sdf": [_wn_linear(sd, f"implicit_network.lin{i}")
+                for i in range(n_sdf_layers)],
+        "rgb": [_wn_linear(sd, f"rendering_network.lin{i}")
+                for i in range(n_rgb_layers)],
+        "density": {"beta": np.asarray(sd["density.beta"]).reshape(())},
+    }
+    if with_background:
+        out["bg_sdf"] = [_wn_linear(sd, f"bg_implicit_network.lin{i}")
+                         for i in range(n_bg_sdf_layers)]
+        out["bg_rgb"] = [_wn_linear(sd, f"bg_rendering_network.lin{i}")
+                         for i in range(n_bg_rgb_layers)]
+    return out
+
+
 CONVERTERS = {
     "casmvsnet": convert_casmvsnet,
     "ucsnet": convert_ucsnet,
     "transmvsnet": convert_transmvsnet,
+    "volsdf": convert_volsdf,
 }
 
 
-def convert(model: str, state_dict: Dict) -> Dict:
+def convert(model: str, state_dict: Dict, **kwargs) -> Dict:
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else
           np.asarray(v) for k, v in state_dict.items()}
-    return CONVERTERS[model](sd)
+    return CONVERTERS[model](sd, **kwargs)
 
 
 def main():

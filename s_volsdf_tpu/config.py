@@ -87,6 +87,7 @@ class ModelConfig:
     feature_vector_size: int = 256
     scene_bounding_sphere: float = 3.0
     white_bkgd: bool = False
+    compute_dtype: str = "float32"   # 'bfloat16' -> MXU-native matmuls
     bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     with_background: bool = False  # True => VolSDFNetworkBG (BMVS)
     implicit: ImplicitNetConfig = field(default_factory=ImplicitNetConfig)

@@ -143,6 +143,12 @@ class VolTrainer:
         self._loops: Dict[bool, tuple] = {}
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
 
+        # Observability (reference: TB scalars every 50 steps,
+        # vsdf.py:224-230; wall-clock phases, runner.py:182,212).
+        from s_volsdf_tpu.utils.tracing import PhaseTimer, TBWriter
+        self.tb = TBWriter(os.path.join(self.plots_dir, "logs"))
+        self.timer = PhaseTimer()
+
     # ---------------- checkpointing (vsdf.py:128-194) ----------------
 
     def save_checkpoint(self, label: str = "latest"):
@@ -215,15 +221,29 @@ class VolTrainer:
             n = min(self.chunk_steps, opt_stepN - done)
             self.rng, sub = jax.random.split(self.rng)
             rngs = jax.random.split(sub, n)
-            self.state, losses = run_chunk(self.state, rngs, scene_dev,
-                                           mvs_dev)
+            with self.timer.phase("train_chunk"):
+                self.state, losses = run_chunk(self.state, rngs, scene_dev,
+                                               mvs_dev)
+                losses = jax.tree.map(np.asarray, losses)  # hard sync
             done += n
+            step_now = start + done
+            self.tb.scalar("t/loss", losses.loss[-1], step_now)
+            self.tb.scalar("t/rgb_loss", losses.rgb_loss[-1], step_now)
+            self.tb.scalar("t/eikonal_loss", losses.eikonal_loss[-1],
+                           step_now)
+            self.tb.scalar("t/mvs_loss", losses.mvs_loss[-1], step_now)
+            self.tb.scalar("t/psnr", losses.psnr[-1], step_now)
+            beta = float(np.abs(np.asarray(
+                self.state.params["density"]["beta"])))
+            self.tb.scalar("t/beta", beta, step_now)
+            self.tb.scalar("t/alpha", 1.0 / max(beta, 1e-8), step_now)
             if done >= next_log or done >= opt_stepN:
-                last = jax.tree.map(lambda x: float(x[-1]), losses)
                 logger.info(
-                    f"step {start + done}: loss={last.loss:.4f} "
-                    f"rgb={last.rgb_loss:.4f} eik={last.eikonal_loss:.4f} "
-                    f"mvs={last.mvs_loss:.4f} psnr={last.psnr:.2f}")
+                    f"step {step_now}: loss={losses.loss[-1]:.4f} "
+                    f"rgb={losses.rgb_loss[-1]:.4f} "
+                    f"eik={losses.eikonal_loss[-1]:.4f} "
+                    f"mvs={losses.mvs_loss[-1]:.4f} "
+                    f"psnr={losses.psnr[-1]:.2f}")
                 next_log += log_every
             if (done // self.chunk_steps) % 50 == 0:
                 self.save_checkpoint()

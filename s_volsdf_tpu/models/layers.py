@@ -40,13 +40,21 @@ def _pack(w: jnp.ndarray, b: jnp.ndarray, weight_norm: bool) -> Params:
     return {"w": w, "b": b}
 
 
-def apply_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def apply_linear(p: Params, x: jnp.ndarray,
+                 compute_dtype=None) -> jnp.ndarray:
+    """compute_dtype: None keeps fp32; jnp.bfloat16 runs the matmul on
+    the MXU's native bf16 path with fp32 accumulation (weight-norm
+    normalization stays fp32)."""
     if "v" in p:
         v = p["v"]
         # Normalize each output column; epsilon-free like torch.
         w = p["g"] * v / jnp.linalg.norm(v, axis=0, keepdims=True)
     else:
         w = p["w"]
+    if compute_dtype is not None:
+        y = jax.lax.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+        return y + p["b"]
     return x @ w + p["b"]
 
 

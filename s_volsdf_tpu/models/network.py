@@ -48,6 +48,11 @@ def init_volsdf_params(key, cfg: ModelConfig) -> Dict:
     }
 
 
+def _compute_dtype(cfg: ModelConfig):
+    """bf16 MXU path when cfg.compute_dtype == 'bfloat16'."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
 # --------------------------------------------------------------------------
 # SDF network
 # --------------------------------------------------------------------------
@@ -55,6 +60,7 @@ def init_volsdf_params(key, cfg: ModelConfig) -> Dict:
 def sdf_mlp_raw(params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Raw MLP output (N, 1 + feature_size) (network.py:71-88)."""
     imp = cfg.implicit
+    dt = _compute_dtype(cfg)
     inp = positional_encoding(x, imp.multires)
     h = inp
     n_layers = len(params)
@@ -62,7 +68,7 @@ def sdf_mlp_raw(params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     for l, p in enumerate(params):
         if l in imp.skip_in:
             h = jnp.concatenate([h, inp], axis=-1) * inv_sqrt2
-        h = layers.apply_linear(p, h)
+        h = layers.apply_linear(p, h, compute_dtype=dt)
         if l < n_layers - 1:
             h = layers.softplus_b(h, beta=100.0)
     return h
@@ -135,8 +141,9 @@ def rgb_mlp(params, cfg: ModelConfig, points, normals, view_dirs, feats):
     else:
         raise ValueError(ren.mode)
     n_layers = len(params)
+    dt = _compute_dtype(cfg)
     for l, p in enumerate(params):
-        h = layers.apply_linear(p, h)
+        h = layers.apply_linear(p, h, compute_dtype=dt)
         if l < n_layers - 1:
             h = jax.nn.relu(h)
     return jax.nn.sigmoid(h)

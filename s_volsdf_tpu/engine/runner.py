@@ -226,12 +226,24 @@ def save_scene_depth(cfg: Config, scene_name: str, *,
             np.asarray(outputs["stage3"]["photometric_confidence"]), (W, H))
         conf_final = conf1 * conf2 * conf3
 
-        fn = outputs.get("filename", s.filename)
         save_pfm(os.path.join(outdir, s.filename.format("depth_est", ".pfm")),
                  depth_est)
         save_pfm(os.path.join(outdir,
                               s.filename.format("confidence", ".pfm")),
                  conf_final.astype(np.float32))
+
+        # Depth/confidence visualizations (runner.py:283-290).
+        from s_volsdf_tpu.utils.viz import visualize_depth
+        dep_max = float(np.asarray(s.depth_values).max())
+        dmin = float(np.quantile(depth_est, 0.01))
+        cv2.imwrite(os.path.join(outdir,
+                                 s.filename.format("depth_est", ".png")),
+                    visualize_depth(depth_est, depth_min=dmin,
+                                    depth_max=dep_max))
+        cv2.imwrite(
+            os.path.join(outdir,
+                         s.filename.format("confidence", "_final.png")),
+            visualize_depth(conf_final, direct=True))
         cam = np.asarray(s.proj_matrices["stage3"][0])
         write_cam(os.path.join(outdir, s.filename.format("cams", "_cam.txt")),
                   cam, s.cam_near_far)

@@ -91,7 +91,43 @@ def make_scan_train_fn(cfg: Config, tx, *, use_mvs: bool, n_views: int,
         step = lambda carry, rng: one_step(scene, mvs, carry, rng)
         return jax.lax.scan(step, state, rngs)
 
+    run_chunk.one_step = one_step
     return run_chunk
+
+
+def make_multiscene_train_fn(cfg: Config, tx, *, use_mvs: bool,
+                             n_views: int, img_res: Tuple[int, int]):
+    """vmap the whole optimization over a leading SCENE axis — S
+    independent per-scene VolSDF optimizations advance in lockstep in
+    one XLA program on one chip (new capability: the reference's only
+    scene-level parallelism is a CPU process pool for fusion,
+    runner.py:420-432).
+
+    All pytrees (state, scene tensors, MVS volumes, rngs) carry a
+    leading S axis. Combine with shard_map over a 'scene' mesh axis to
+    spread scenes across chips.
+    """
+    base = make_scan_train_fn(cfg, tx, use_mvs=use_mvs, n_views=n_views,
+                              img_res=img_res)
+    one_step = base.one_step
+
+    def scene_scan(state, rngs, scene, mvs):
+        step = lambda carry, rng: one_step(scene, mvs, carry, rng)
+        return jax.lax.scan(step, state, rngs)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(states: TrainState, rngs, scenes: Dict,
+                  mvs: Optional[MVSVolumes]
+                  ) -> Tuple[TrainState, LossOutput]:
+        # rngs: (S, T, 2); states/scenes/mvs: leading S axis.
+        return jax.vmap(scene_scan)(states, rngs, scenes, mvs)
+
+    return run_chunk
+
+
+def stack_states(states):
+    """Stack per-scene TrainStates/pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
 class VolTrainer:
@@ -215,6 +251,9 @@ class VolTrainer:
         logger.info(f"train volsdf at {self.checkpoints_path}: "
                     f"start={start} steps={opt_stepN} use_mvs={use_mvs}")
         next_log = log_every
+        # First render after one render_freq worth of steps; -1 off.
+        self._next_render = (self.cfg.train.render_freq * len(ti)
+                             if self.cfg.train.render_freq > 0 else -1)
         while done < opt_stepN:
             # Full-size chunks share one compiled program; a short tail
             # chunk costs one extra compile only on tiny runs.
@@ -245,11 +284,41 @@ class VolTrainer:
                     f"mvs={losses.mvs_loss[-1]:.4f} "
                     f"psnr={losses.psnr[-1]:.2f}")
                 next_log += log_every
-            if (done // self.chunk_steps) % 50 == 0:
+            # Periodic quarter-res eval render (reference renders an
+            # eval view every render_freq epochs, vsdf.py:337-347).
+            rf = max(self.cfg.train.render_freq * len(ti), 1)
+            if self._next_render >= 0 and done >= self._next_render:
+                self._plot_render(step_now)
+                self._next_render += rf
+            if (done // max(self.chunk_steps, 1)) % 50 == 0:
                 self.save_checkpoint()
         self.epoch += max(1, opt_stepN // max(len(ti), 1))
         self.save_checkpoint()
         return self.epoch
+
+    def _plot_render(self, step: int):
+        """Quarter-res render of an eval view -> plots dir + TB image
+        (reference render_step + stacked_plot, vsdf.py:237-287)."""
+        try:
+            eval_ids = self.scene.eval_ids()
+        except NotImplementedError:
+            eval_ids = []
+        vid = eval_ids[0] if eval_ids else self.trains_i[0]
+        with self.timer.phase("plot_render"):
+            maps = self.render_view(vid, res_scale=0.25, fast=-1)
+        from s_volsdf_tpu.utils.viz import stacked_panel
+        H4, W4 = maps["rgb"].shape[:2]
+        gt = self.scene.rgb[vid].reshape(*self.scene.img_res, 3)
+        gt4 = gt[::4, ::4][:H4, :W4]
+        panel = stacked_panel(gt4, maps["rgb"], maps["depth"],
+                              maps["normal"], maps["acc"])
+        self.tb.image("val/vis", panel, step)
+        import imageio.v2 as imageio
+        imageio.imwrite(
+            os.path.join(self.plots_dir, f"render_{step}.png"),
+            (np.clip(panel, 0, 1) * 255).astype(np.uint8))
+        mse = float(np.mean((maps["rgb"] - gt4) ** 2))
+        self.tb.scalar("val/psnr", -10.0 * np.log10(max(mse, 1e-10)), step)
 
     # ---------------- rendering (vsdf.py:237-320) -------------------
 

@@ -85,6 +85,20 @@ class MVSEngine:
                 f"(no checkpoint at {weights_path}); convert a torch "
                 f"ckpt with tools/convert_ckpt.py for real runs")
 
+        # Depth-packed cost regularization (ops/packed_conv3d): needed
+        # for production volume sizes on TPU (C<=32 channels-minor
+        # arrays pad 4-16x in HBM tiles); numerically identical.
+        from s_volsdf_tpu.ops.packed_conv3d import pack_costreg_params
+        self.packed_cr = []
+        for s, d in enumerate(ndepths):
+            pack0 = 16 if d % 16 == 0 else (8 if d % 8 == 0 else None)
+            if pack0 is None:
+                self.packed_cr.append(None)
+                continue
+            self.packed_cr.append(
+                (pack_costreg_params(self.params["cost_reg"][s], pack0),
+                 pack0))
+
     def features(self, imgs: jnp.ndarray) -> List[Dict]:
         return self._features(self.params, imgs)
 
@@ -93,24 +107,25 @@ class MVSEngine:
         """Returns (outputs, extra). `extra` threads UCSNet variance /
         TransMVSNet view weights between stages (runner.py:201-203)."""
         cfg = self.cfg
+        pcr = self.packed_cr[stage_idx]
         if self.name == "casmvsnet":
             out = self._stage(self.params, stage_idx, features, proj,
                               depth_values, prev_depth, img_hw,
                               ndepths=cfg.mvs.ndepths,
                               depth_inter_r=cfg.mvs.depth_inter_r,
-                              inverse_depth=inverse_depth)
+                              inverse_depth=inverse_depth, packed_cr=pcr)
             return out, None
         if self.name == "ucsnet":
             out = self._stage(self.params, stage_idx, features, proj,
                               depth_values, prev_depth, extra, img_hw,
                               stage_configs=cfg.mvs.ndepths,
-                              inverse_depth=inverse_depth)
+                              inverse_depth=inverse_depth, packed_cr=pcr)
             return out, out["variance"]
         out, vw = self._stage(self.params, stage_idx, features, proj,
                               depth_values, prev_depth, extra, img_hw,
                               ndepths=cfg.mvs.ndepths,
                               depth_inter_r=cfg.mvs.depth_inter_r,
-                              inverse_depth=inverse_depth)
+                              inverse_depth=inverse_depth, packed_cr=pcr)
         return out, vw
 
 

@@ -129,16 +129,19 @@ def cost_reg_net(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
 # CasMVSNet.py:597-663
 # --------------------------------------------------------------------------
 
-def depth_net(cr_params: Dict, features: Sequence[jnp.ndarray],
-              proj_mats: jnp.ndarray, depth_values: jnp.ndarray
-              ) -> Dict[str, jnp.ndarray]:
-    """One cascade stage.
+def variance_volume(features: Sequence[jnp.ndarray], proj_mats,
+                    depth_values: jnp.ndarray,
+                    depth_chunk: int = 16,
+                    packed: bool = False) -> jnp.ndarray:
+    """Variance-aggregated plane-sweep volume, built in depth chunks.
 
-    features: list of V (H, W, C) maps, ref first.
-    proj_mats: (V, 2, 4, 4) — [extrinsic, intrinsic-ish] pairs composed
-      like the reference (CasMVSNet.py:622-625: K_stage[:3,:3] @
-      extr[:3,:4]).
-    depth_values: (D, H, W) hypothesis depths.
+    The naive build materializes warped volumes for every source view
+    at once — at DTU production shapes (D=192, 288x384, 32ch) that is
+    ~11 GB of fp32 temporaries and OOMs a 16 GB v5e. `lax.map` over
+    depth blocks caps live temporaries at the block size while XLA
+    still pipelines the gathers (this replaces the reference's
+    `prevent_oom` CPU-offload shuffle, CasMVSNet.py:613-642, with a
+    device-side schedule).
     """
     num_views = len(features)
     D = depth_values.shape[0]
@@ -149,21 +152,66 @@ def depth_net(cr_params: Dict, features: Sequence[jnp.ndarray],
         return pm[0].at[:3, :4].set(pm[1][:3, :3] @ pm[0][:3, :4])
 
     ref_proj = compose(proj_mats[0])
+    src_projs = [compose(proj_mats[i + 1])
+                 for i in range(len(src_features))]
 
-    ref_volume = jnp.broadcast_to(
-        ref_feature[None], (D,) + ref_feature.shape)
-    volume_sum = ref_volume
-    volume_sq_sum = ref_volume ** 2
-    for i, src_fea in enumerate(src_features):
-        src_proj = compose(proj_mats[i + 1])
-        warped = homo_warping(src_fea, src_proj, ref_proj, depth_values,
-                              align_corners=False)
-        volume_sum = volume_sum + warped
-        volume_sq_sum = volume_sq_sum + warped ** 2
+    chunk = min(depth_chunk, D)
+    while D % chunk:
+        chunk -= 1
+    n_chunks = D // chunk
+    dv_chunks = depth_values.reshape(n_chunks, chunk, *depth_values.shape[1:])
+    H, W, C = ref_feature.shape
 
-    variance = volume_sq_sum / num_views - (volume_sum / num_views) ** 2
+    def build_chunk(dv):
+        ref_block = jnp.broadcast_to(ref_feature[None],
+                                     (chunk,) + ref_feature.shape)
+        s = ref_block
+        sq = ref_block ** 2
+        for src_fea, src_proj in zip(src_features, src_projs):
+            w = homo_warping(src_fea, src_proj, ref_proj, dv,
+                             align_corners=False)
+            s = s + w
+            sq = sq + w ** 2
+        var = sq / num_views - (s / num_views) ** 2
+        if packed:
+            # Emit directly in depth-packed layout (ops/packed_conv3d):
+            # (chunk, H, W, C) -> (H, W, chunk*C); dense TPU tiles.
+            return jnp.transpose(var, (1, 2, 0, 3)).reshape(H, W,
+                                                            chunk * C)
+        return var
 
-    logits = cost_reg_net(cr_params, variance[None])[0]  # (D, H, W)
+    var = jax.lax.map(build_chunk, dv_chunks)
+    if packed:
+        return var                      # (D/chunk, H, W, chunk*C)
+    return var.reshape(D, *ref_feature.shape)
+
+
+def depth_net(cr_params: Dict, features: Sequence[jnp.ndarray],
+              proj_mats: jnp.ndarray, depth_values: jnp.ndarray,
+              packed_cr: Optional[Tuple[Dict, int]] = None
+              ) -> Dict[str, jnp.ndarray]:
+    """One cascade stage.
+
+    features: list of V (H, W, C) maps, ref first.
+    proj_mats: (V, 2, 4, 4) — [extrinsic, intrinsic-ish] pairs composed
+      like the reference (CasMVSNet.py:622-625: K_stage[:3,:3] @
+      extr[:3,:4]).
+    depth_values: (D, H, W) hypothesis depths.
+    packed_cr: (packed cost-reg params, pack0) — run the UNet in the
+      depth-packed layout (ops/packed_conv3d) so production-size
+      volumes fit dense TPU tiles; numerically identical.
+    """
+    D = depth_values.shape[0]
+    if packed_cr is not None:
+        from s_volsdf_tpu.ops.packed_conv3d import cost_reg_net_packed
+        pparams, pack0 = packed_cr
+        cin = features[0].shape[-1]
+        var_packed = variance_volume(features, proj_mats, depth_values,
+                                     depth_chunk=pack0, packed=True)
+        logits = cost_reg_net_packed(pparams, var_packed, pack0, cin=cin)
+    else:
+        variance = variance_volume(features, proj_mats, depth_values)
+        logits = cost_reg_net(cr_params, variance[None])[0]  # (D, H, W)
     prob_volume = jax.nn.softmax(logits, axis=0)
     depth = jnp.sum(prob_volume * depth_values, axis=0)
 
@@ -208,7 +256,9 @@ def casmvsnet_stage(params: Dict, stage_idx: int, features: List[Dict],
                     proj_mats: jnp.ndarray, depth_values_range: jnp.ndarray,
                     prev_depth: Optional[jnp.ndarray], img_hw: Tuple[int, int],
                     ndepths=(192, 32, 8), depth_inter_r=(1.0, 0.5, 0.5),
-                    inverse_depth: bool = False) -> Dict[str, jnp.ndarray]:
+                    inverse_depth: bool = False,
+                    packed_cr: Optional[Tuple[Dict, int]] = None
+                    ) -> Dict[str, jnp.ndarray]:
     """One cascade stage (CascadeMVSNet.forward, CasMVSNet.py:705-761).
 
     features: V per-view pyramids; proj_mats: (V, 2, 4, 4) for this
@@ -242,4 +292,4 @@ def casmvsnet_stage(params: Dict, stage_idx: int, features: List[Dict],
 
     feats_stage = [f[stage_key] for f in features]
     return depth_net(params["cost_reg"][stage_idx], feats_stage,
-                     proj_mats, depth_values)
+                     proj_mats, depth_values, packed_cr=packed_cr)

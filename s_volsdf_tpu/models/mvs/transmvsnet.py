@@ -154,12 +154,28 @@ def init_pixelwise_net(key) -> Dict:
 
 
 def pixelwise_net(params: Dict, similarity: jnp.ndarray) -> jnp.ndarray:
-    """similarity: (D, H, W) -> per-pixel visibility weight (H, W)."""
-    x = similarity[None, ..., None]  # (1, D, H, W, 1)
-    x = B.conv3d(params["conv0"], x, padding=0)
-    x = B.conv3d(params["conv1"], x, padding=0)
-    x = B.conv3d(params["conv2"], x, padding=0, relu=False)
-    return jnp.max(jax.nn.sigmoid(x[0, ..., 0]), axis=0)
+    """similarity: (D, H, W) -> per-pixel visibility weight (H, W).
+
+    The reference uses 1x1x1 Conv3d + BN + ReLU stacks
+    (TransMVSNet.py:12-32); a 1x1x1 conv is a per-voxel dense layer, so
+    it is applied as channel matmuls (the (D, H, W, 1..16) conv forms
+    would pad 8-128x on TPU tiles). Callers should chunk over D for
+    production sizes (trans_depth_net does)."""
+    x = similarity[..., None]                    # (D, H, W, 1)
+
+    def dense_bn_relu(p, x, relu=True):
+        w = p["w"].reshape(p["w"].shape[-2:])    # (Cin, Cout)
+        y = x @ w
+        if "b" in p:
+            y = y + p["b"]
+        if "bn" in p:
+            y = B.batch_norm(p["bn"], y)
+        return jax.nn.relu(y) if relu else y
+
+    x = dense_bn_relu(params["conv0"], x)
+    x = dense_bn_relu(params["conv1"], x)
+    x = dense_bn_relu(params["conv2"], x, relu=False)
+    return jnp.max(jax.nn.sigmoid(x[..., 0]), axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -169,7 +185,8 @@ def pixelwise_net(params: Dict, similarity: jnp.ndarray) -> jnp.ndarray:
 def trans_depth_net(cr_params: Dict, pw_params: Dict,
                     features: List[jnp.ndarray], proj_mats: jnp.ndarray,
                     depth_values: jnp.ndarray,
-                    view_weights: Optional[jnp.ndarray]):
+                    view_weights: Optional[jnp.ndarray],
+                    packed_cr: Optional[tuple] = None):
     """Returns (outputs, view_weights). view_weights: (V-1, H, W)."""
     D = depth_values.shape[0]
     ref_feature, src_features = features[0], features[1:]
@@ -180,16 +197,37 @@ def trans_depth_net(cr_params: Dict, pw_params: Dict,
 
     ref_proj = compose(proj_mats[0])
 
+    def similarity_chunked(src_fea, src_proj, chunk=16):
+        """Dot-product similarity built in depth chunks so the warped
+        (D, H, W, C) volume never materializes (memory note at
+        casmvsnet.variance_volume)."""
+        c = min(chunk, D)
+        while D % c:
+            c -= 1
+        dv = depth_values.reshape(D // c, c, *depth_values.shape[1:])
+
+        def one(dvc):
+            w = homo_warping(src_fea, src_proj, ref_proj, dvc,
+                             align_corners=True, mask_behind=True)
+            sim_c = jnp.mean(w * ref_feature[None], axis=-1)
+            # PixelwiseNet per chunk: its 1x1x1 dense stack would pad
+            # 8-128x on TPU tiles at full depth; the final max over D
+            # commutes with chunking.
+            pw_c = pixelwise_net(pw_params, sim_c)   # (H, W)
+            return sim_c, pw_c
+
+        sim, pw = jax.lax.map(one, dv)
+        return (sim.reshape(D, *depth_values.shape[1:]),
+                jnp.max(pw, axis=0))
+
     similarity_sum = 0.0
     weight_sum = 1e-5
     new_weights = []
     for i, src_fea in enumerate(src_features):
-        warped = homo_warping(src_fea, compose(proj_mats[i + 1]), ref_proj,
-                              depth_values, align_corners=True,
-                              mask_behind=True)  # (D, H, W, C)
-        similarity = jnp.mean(warped * ref_feature[None], axis=-1)  # (D,H,W)
+        similarity, vw_new = similarity_chunked(
+            src_fea, compose(proj_mats[i + 1]))  # (D, H, W), (H, W)
         if view_weights is None:
-            vw = pixelwise_net(pw_params, similarity)  # (H, W)
+            vw = vw_new
             new_weights.append(vw)
         else:
             vw = view_weights[i]
@@ -197,7 +235,14 @@ def trans_depth_net(cr_params: Dict, pw_params: Dict,
         weight_sum = weight_sum + vw[None]
     similarity = similarity_sum / weight_sum  # (D, H, W)
 
-    logits = cost_reg_net(cr_params, similarity[None, ..., None])[0]
+    if packed_cr is not None:
+        from s_volsdf_tpu.ops.packed_conv3d import (cost_reg_net_packed,
+                                                    pack_depth)
+        pparams, pack0 = packed_cr
+        sim_packed = pack_depth(similarity[..., None], pack0)
+        logits = cost_reg_net_packed(pparams, sim_packed, pack0, cin=1)
+    else:
+        logits = cost_reg_net(cr_params, similarity[None, ..., None])[0]
     prob_volume = jax.nn.softmax(logits, axis=0)
 
     # Winner-take-all depth (TransMVSNet.py:101, 225-227).
@@ -244,7 +289,7 @@ def transmvsnet_stage(params: Dict, stage_idx: int, features: List[Dict],
                       view_weights: Optional[jnp.ndarray],
                       img_hw: Tuple[int, int], ndepths=(192, 32, 8),
                       depth_inter_r=(1.0, 0.5, 0.5),
-                      inverse_depth: bool = False):
+                      inverse_depth: bool = False, packed_cr=None):
     """TransMVSNet.forward for one stage (TransMVSNet.py:160-232).
     Returns (outputs, view_weights)."""
     H, W = img_hw
@@ -280,4 +325,5 @@ def transmvsnet_stage(params: Dict, stage_idx: int, features: List[Dict],
     feats_stage = [f[stage_key] for f in features]
     return trans_depth_net(params["cost_reg"][stage_idx],
                            params["pixelwise"], feats_stage, proj_mats,
-                           depth_values, view_weights)
+                           depth_values, view_weights,
+                           packed_cr=packed_cr)

@@ -86,28 +86,21 @@ def feat_ext_net(params: Dict, img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 def compute_depth(cr_params: Dict, features: List[jnp.ndarray],
                   proj_mats: jnp.ndarray, depth_samps: jnp.ndarray,
-                  lamb: float) -> Dict[str, jnp.ndarray]:
+                  lamb: float, packed_cr=None) -> Dict[str, jnp.ndarray]:
     """Variance cost volume -> depth, confidence, and the lamb-scaled
     uncertainty used to build the next stage's slab."""
-    num_views = len(features)
+    from s_volsdf_tpu.models.mvs.casmvsnet import variance_volume
     D = depth_samps.shape[0]
-    ref_feature, src_features = features[0], features[1:]
-
-    def compose(pm):
-        return pm[0].at[:3, :4].set(pm[1][:3, :3] @ pm[0][:3, :4])
-
-    ref_proj = compose(proj_mats[0])
-    ref_volume = jnp.broadcast_to(ref_feature[None], (D,) + ref_feature.shape)
-    volume_sum = ref_volume
-    volume_sq_sum = ref_volume ** 2
-    for i, src_fea in enumerate(src_features):
-        warped = homo_warping(src_fea, compose(proj_mats[i + 1]), ref_proj,
-                              depth_samps, align_corners=False)
-        volume_sum = volume_sum + warped
-        volume_sq_sum = volume_sq_sum + warped ** 2
-    variance = volume_sq_sum / num_views - (volume_sum / num_views) ** 2
-
-    logits = cost_reg_net(cr_params, variance[None])[0]
+    if packed_cr is not None:
+        from s_volsdf_tpu.ops.packed_conv3d import cost_reg_net_packed
+        pparams, pack0 = packed_cr
+        var_packed = variance_volume(features, proj_mats, depth_samps,
+                                     depth_chunk=pack0, packed=True)
+        logits = cost_reg_net_packed(pparams, var_packed, pack0,
+                                     cin=features[0].shape[-1])
+    else:
+        variance = variance_volume(features, proj_mats, depth_samps)
+        logits = cost_reg_net(cr_params, variance[None])[0]
     prob_volume = jax.nn.softmax(logits, axis=0)
     depth = jnp.sum(prob_volume * depth_samps, axis=0)
 
@@ -152,8 +145,8 @@ def ucsnet_stage(params: Dict, stage_idx: int, features: List[Dict],
                  prev_depth: Optional[jnp.ndarray],
                  prev_variance: Optional[jnp.ndarray],
                  img_hw: Tuple[int, int], stage_configs=(64, 32, 8),
-                 lamb: float = 1.5, inverse_depth: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+                 lamb: float = 1.5, inverse_depth: bool = False,
+                 packed_cr=None) -> Dict[str, jnp.ndarray]:
     """UCSNet.forward for one stage (ucsnet.py:417-477). prev_depth and
     prev_variance come from the previous stage (the runner's `extra`
     blob)."""
@@ -179,4 +172,5 @@ def ucsnet_stage(params: Dict, stage_idx: int, features: List[Dict],
 
     feats_stage = [f[stage_key] for f in features]
     return compute_depth(params["cost_reg"][stage_idx], feats_stage,
-                         proj_mats, depth_samps, lamb)
+                         proj_mats, depth_samps, lamb,
+                         packed_cr=packed_cr)

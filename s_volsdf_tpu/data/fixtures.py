@@ -79,6 +79,78 @@ def write_pair_file(root: str, scan: str, train_ids: List[int],
     return path
 
 
+def write_bmvs_cam_files(root: str, scan: str, scene: SyntheticScene,
+                         view_map, world_scale: float,
+                         depth_min: float, depth_max: float,
+                         n_views: int = 64) -> None:
+    """Per-view MVS cam txt files + pair.txt under the BMVS hash dir
+    (general_eval.py:198-214 reads line 11 as
+    'depth_min depth_interval ... depth_max')."""
+    from s_volsdf_tpu.data.io import write_cam
+    from s_volsdf_tpu.data.splits import scan2hash
+    cams_dir = os.path.join(root, "BlendedMVS", "mvs_data",
+                            scan2hash(scan), "cams")
+    os.makedirs(cams_dir, exist_ok=True)
+    interval = (depth_max - depth_min) / 192
+    for vid in range(n_views):
+        sidx = view_map.get(vid, 0)
+        c2w = scene.poses[sidx].copy()
+        c2w[:3, 3] *= world_scale
+        extr = np.linalg.inv(c2w)
+        cam = np.zeros((2, 4, 4), np.float32)
+        cam[0] = extr
+        cam[1, :3, :3] = scene.intrinsics[sidx][:3, :3]
+        write_cam(os.path.join(cams_dir, f"{vid:08d}_cam.txt"), cam,
+                  near_far=np.array([depth_min, interval, 192.0,
+                                     depth_max]))
+    # pair.txt inside the cams dir (general_eval.py:102-103).
+    train_ids = list(view_map.keys())
+    with open(os.path.join(cams_dir, "pair.txt"), "w") as f:
+        f.write(f"{n_views}\n")
+        for ref in range(n_views):
+            srcs = [t for t in train_ids if t != ref] or train_ids[:2]
+            f.write(f"{ref}\n")
+            f.write(f"{len(srcs)} " +
+                    " ".join(f"{s} {100.0 - i}"
+                             for i, s in enumerate(srcs)) + "\n")
+
+
+def make_bmvs_fixture(root: str, scan_id: int = 1,
+                      img_res: Tuple[int, int] = (64, 96),
+                      world_scale: float = 200.0) -> str:
+    """BlendedMVS-layout fixture for scan_id with its protocol train
+    ids (splits.py) mapped onto 3 distinct synthetic views."""
+    from s_volsdf_tpu.data.splits import get_trains_ids
+    import imageio.v2 as imageio
+
+    scene = make_sphere_scene(n_views=3, img_res=img_res, cam_radius=2.8)
+    train_ids = get_trains_ids("BlendedMVS", f"scan{scan_id}", 3)
+    n_views = max(train_ids) + 16
+    write_idr_scene(root, scene, scan_id=scan_id, data_dir="BlendedMVS",
+                    world_scale=world_scale, n_pad_views=n_views)
+
+    inst = os.path.join(root, "BlendedMVS", f"scan{scan_id}")
+    cams = dict(np.load(os.path.join(inst, "cameras.npz")))
+    view_map = {}
+    for v, tid in enumerate(train_ids):
+        view_map[tid] = v
+        c2w_world = scene.poses[v].copy()
+        c2w_world[:3, 3] *= world_scale
+        w2c = np.linalg.inv(c2w_world)
+        world_mat = np.eye(4, dtype=np.float32)
+        world_mat[:3, :4] = scene.intrinsics[v][:3, :3] @ w2c[:3, :4]
+        cams[f"world_mat_{tid}"] = world_mat
+        img = (np.clip(scene.images[v], 0, 1) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(inst, "image", f"{tid:06d}.png"), img)
+    np.savez(os.path.join(inst, "cameras.npz"), **cams)
+
+    cam_dist = 2.8 * np.sqrt(1 + 0.35 ** 2) * world_scale
+    write_bmvs_cam_files(root, f"scan{scan_id}", scene, view_map,
+                         world_scale, depth_min=cam_dist - 220,
+                         depth_max=cam_dist + 220, n_views=n_views)
+    return root
+
+
 def make_dtu_fixture(root: str, scan_id: int = 106,
                      img_res: Tuple[int, int] = (64, 96),
                      world_scale: float = 200.0) -> str:

@@ -92,3 +92,30 @@ def test_lpips_shapes_and_zero_distance():
     other = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
     d_diff = lpips_distance(params, img, other)
     assert float(d_diff[0]) > 0
+
+
+def test_lpips_converter_shapes(rng_np):
+    """Fabricated torch-`lpips`-package state_dict -> our pytree."""
+    from tools.convert_ckpt import convert
+    from s_volsdf_tpu.models.lpips import VGG_PLAN, lpips_distance
+
+    slices = (("slice1", (0, 2)), ("slice2", (5, 7)),
+              ("slice3", (10, 12, 14)), ("slice4", (17, 19, 21)),
+              ("slice5", (24, 26, 28)))
+    sd = {}
+    cin = 3
+    for bi, (sname, ids) in enumerate(slices):
+        for ci, cout in zip(ids, VGG_PLAN[bi]):
+            sd[f"net.{sname}.{ci}.weight"] = \
+                rng_np.standard_normal((cout, cin, 3, 3)).astype(np.float32)
+            sd[f"net.{sname}.{ci}.bias"] = np.zeros(cout, np.float32)
+            cin = cout
+        sd[f"lin{bi}.model.1.weight"] = np.abs(
+            rng_np.standard_normal((1, cin, 1, 1))).astype(np.float32)
+
+    params = convert("lpips", sd)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    other = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    d = lpips_distance(params, img, other)
+    assert d.shape == (1,) and float(d[0]) > 0
+    assert float(lpips_distance(params, img, img)[0]) < 1e-6

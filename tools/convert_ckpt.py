@@ -326,11 +326,38 @@ def convert_volsdf(sd: Dict, n_sdf_layers: int = 9,
     return out
 
 
+# --------------------------------------------------------------------------
+# LPIPS (torch `lpips` package, net='vgg'): VGG16 slices + 1x1 lins.
+# Replaces the reference's TF1 frozen-graph download
+# (lpips_tensorflow/lpips_tf.py:29-90).
+# --------------------------------------------------------------------------
+
+# torchvision vgg16.features conv layer indices per LPIPS slice.
+_VGG_SLICES = (("slice1", (0, 2)), ("slice2", (5, 7)),
+               ("slice3", (10, 12, 14)), ("slice4", (17, 19, 21)),
+               ("slice5", (24, 26, 28)))
+
+
+def convert_lpips(sd: Dict) -> Dict:
+    feats, lins = [], []
+    for i, (slice_name, conv_ids) in enumerate(_VGG_SLICES):
+        block = []
+        for ci in conv_ids:
+            w = np.asarray(sd[f"net.{slice_name}.{ci}.weight"])
+            b = np.asarray(sd[f"net.{slice_name}.{ci}.bias"])
+            block.append({"w": conv2d_w(w), "b": b})
+        feats.append(block)
+        lw = np.asarray(sd[f"lin{i}.model.1.weight"])  # (1, C, 1, 1)
+        lins.append({"w": lw[:, :, 0, 0].T})            # (C, 1)
+    return {"features": feats, "lins": lins}
+
+
 CONVERTERS = {
     "casmvsnet": convert_casmvsnet,
     "ucsnet": convert_ucsnet,
     "transmvsnet": convert_transmvsnet,
     "volsdf": convert_volsdf,
+    "lpips": convert_lpips,
 }
 
 

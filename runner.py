@@ -20,9 +20,9 @@ def main(argv):
         "1", "true", "yes")
     mvs_weights = extra.pop("mvs_weights", None)
 
-    from s_volsdf_tpu.config import load_config
-    cfg = load_config(preset, overrides=[f"{k}={v}" for k, v in
-                                         extra.items()])
+    from s_volsdf_tpu.config import load_config, validate_config
+    cfg = validate_config(load_config(
+        preset, overrides=[f"{k}={v}" for k, v in extra.items()]))
 
     # testlist: file of scan names or comma list (runner.py:435-441).
     if "txt" in cfg.testlist:

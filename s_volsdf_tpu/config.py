@@ -303,6 +303,27 @@ def load_config(preset: str = "dtu", yaml_path: Optional[str] = None,
     return cfg
 
 
+def validate_config(cfg: Config) -> Config:
+    """Invariant checks (reference helpers/help.py:47-53 + TPU needs)."""
+    assert cfg.dataset.data_dir in ("DTU", "BlendedMVS"), cfg.dataset.data_dir
+    assert len(cfg.mvs.ndepths) == len(cfg.mvs.depth_inter_r) == 3
+    assert len(cfg.opt_stepNs) == 3 and len(cfg.use_nerf_d) == 3
+    assert cfg.mvs.numdepth == cfg.mvs.ndepths[0], \
+        "numdepth must match stage-1 hypothesis count"
+    if cfg.dataset.data_dir == "BlendedMVS":
+        assert cfg.mvs.interval_scale == 1.0, \
+            "BlendedMVS requires interval_scale=1 (general_eval.py:32)"
+    for d in cfg.mvs.ndepths:
+        assert d % 8 == 0, f"ndepths must be multiples of 8 (3-level " \
+            f"cost UNet + depth packing), got {d}"
+    H, W = cfg.dataset.img_res
+    assert (cfg.max_h, cfg.max_w) == (H, W), \
+        "max_h/max_w must equal dataset.img_res (reference vsdf.py:82)"
+    assert H % 32 == 0 and W % 32 == 0, \
+        "img_res must be multiples of 32 for the MVS pyramids"
+    return cfg
+
+
 def save_config(cfg: Config, path: str) -> None:
     """Snapshot config to YAML (reference vsdf.py:71-72, runner.py:113-115)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -15,7 +15,7 @@ changes the numbers):
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -13,7 +13,7 @@ Rebuild of /root/reference/eval_vsdf.py:27-281:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,8 +21,7 @@ import numpy as np
 
 from s_volsdf_tpu.config import Config
 from s_volsdf_tpu.data.io import save_pfm, save_ply
-from s_volsdf_tpu.data.scene_dataset import SceneData, load_scene
-from s_volsdf_tpu.data.splits import get_eval_ids, get_trains_ids
+from s_volsdf_tpu.data.scene_dataset import SceneData
 from s_volsdf_tpu.engine.mesh import (extract_mesh_by_grid,
                                       extract_mesh_high_res,
                                       largest_component)

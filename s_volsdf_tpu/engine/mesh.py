@@ -14,10 +14,9 @@ without skimage/trimesh:
 from __future__ import annotations
 
 import ctypes
-import functools
 import os
 import subprocess
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

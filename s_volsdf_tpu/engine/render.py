@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from s_volsdf_tpu.config import Config, ModelConfig
+from s_volsdf_tpu.config import ModelConfig
 from s_volsdf_tpu.models.network import render_rays
 
 

@@ -17,7 +17,6 @@ runner.py:420-432 — fusion here is vectorized numpy and fast).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import os
 import time
@@ -32,7 +31,7 @@ from s_volsdf_tpu.config import Config, per_scene_overrides
 from s_volsdf_tpu.data.io import save_pfm, write_cam
 from s_volsdf_tpu.data.mvs_dataset import MVSDataset
 from s_volsdf_tpu.data.scene_dataset import load_scene
-from s_volsdf_tpu.data.splits import get_eval_ids, get_trains_ids
+from s_volsdf_tpu.data.splits import get_trains_ids
 from s_volsdf_tpu.engine.fusion import filter_depth
 from s_volsdf_tpu.engine.trainer import VolTrainer
 from s_volsdf_tpu.utils.logging import get_logger

@@ -332,7 +332,7 @@ class VolTrainer:
         near_pose = self.scene.near_pose(view_idx)
         maps = render_image(
             self.state.params, self.cfg.model, self.scene.poses[view_idx],
-            intr, out_res, chunk=4096, fast=fast,
+            intr, out_res, chunk=16384, fast=fast,
             with_background=self.cfg.model.with_background,
             near_pose=near_pose)
         return maps

@@ -108,3 +108,17 @@ def test_mvs_dataset_sample(fixture_root):
     # Ref-view extrinsics match the IDR camera (world frame).
     extr = s.proj_matrices["stage1"][0, 0]
     assert np.isfinite(extr).all()
+
+
+def test_validate_config_catches_bad_invariants():
+    from s_volsdf_tpu.config import load_config, validate_config
+    validate_config(load_config("dtu"))  # defaults pass
+    bad = load_config("dtu", overrides=["mvs.ndepths=[192,32,9]"])
+    with pytest.raises(AssertionError):
+        validate_config(bad)
+    bad2 = load_config("dtu", overrides=["max_h=512"])
+    with pytest.raises(AssertionError):
+        validate_config(bad2)
+    bad3 = load_config("bmvs", overrides=["mvs.interval_scale=1.06"])
+    with pytest.raises(AssertionError):
+        validate_config(bad3)

@@ -23,6 +23,8 @@ def main():
     p.add_argument("--scan", type=int, default=-1)
     p.add_argument("--max_dist", type=float, default=20.0)
     p.add_argument("--downsample", type=float, default=0.2)
+    p.add_argument("--mode", default="pcd", choices=["pcd", "mesh"],
+                   help="'mesh' samples a predicted mesh PLY first")
     args = p.parse_args()
 
     from s_volsdf_tpu.engine.eval_geo import eval_dtu_scan
@@ -37,7 +39,7 @@ def main():
         if not os.path.exists(ply):
             print(f"scan{scan:03d} MISSING {ply}")
             continue
-        r = eval_dtu_scan(ply, scan, args.dataset_dir,
+        r = eval_dtu_scan(ply, scan, args.dataset_dir, mode=args.mode,
                           max_dist=args.max_dist,
                           downsample=args.downsample)
         print(f"scan{scan:03d} {r['acc']:.2f} {r['comp']:.2f} "

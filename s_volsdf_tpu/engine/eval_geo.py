@@ -106,13 +106,60 @@ def chamfer(data_pcd: np.ndarray, stl_pcd: np.ndarray, *,
     return {"acc": acc, "comp": comp, "overall": (acc + comp) / 2.0}
 
 
+def mesh_to_pcd(ply_path: str, target_density: float = 0.2,
+                max_points: int = 10_000_000) -> np.ndarray:
+    """Sample a predicted MESH into a point cloud for Chamfer eval
+    (reference eval_dtu.py --mode mesh, :62-88: vertices + per-triangle
+    area-proportional samples). target_density ~ downsample radius so
+    sampling matches the later 0.2 mm thinning."""
+    from s_volsdf_tpu.data.io import load_ply
+    from s_volsdf_tpu.engine.mesh import sample_surface, triangle_areas
+    verts, faces = _load_mesh(ply_path)
+    if faces is None or faces.shape[0] == 0:
+        return verts
+    area = triangle_areas(verts, faces).sum()
+    n = int(min(max_points, max(area / (target_density ** 2), 1)))
+    pts = sample_surface(verts, faces, n)
+    return np.concatenate([verts, pts.astype(np.float32)], axis=0)
+
+
+def _load_mesh(ply_path: str):
+    """Read verts (+faces if present) from a binary-little-endian PLY
+    written by save_ply."""
+    import re
+    with open(ply_path, "rb") as f:
+        header = b""
+        while not header.endswith(b"end_header\n"):
+            header += f.readline()
+        n_verts = int(re.search(rb"element vertex (\d+)", header).group(1))
+        m_face = re.search(rb"element face (\d+)", header)
+        has_rgb = b"uchar red" in header
+        vdt = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+        if has_rgb:
+            vdt += [("r", "u1"), ("g", "u1"), ("b", "u1")]
+        rec = np.fromfile(f, dtype=np.dtype(vdt), count=n_verts)
+        verts = np.stack([rec["x"], rec["y"], rec["z"]], -1)
+        faces = None
+        if m_face:
+            nf = int(m_face.group(1))
+            frec = np.fromfile(f, dtype=np.dtype(
+                [("n", "u1"), ("a", "<i4"), ("b", "<i4"), ("c", "<i4")]),
+                count=nf)
+            faces = np.stack([frec["a"], frec["b"], frec["c"]], -1)
+    return verts.astype(np.float32), faces
+
+
 def eval_dtu_scan(pred_ply: str, scan: int, dataset_dir: str,
-                  **kwargs) -> Dict[str, float]:
+                  mode: str = "pcd", **kwargs) -> Dict[str, float]:
     """Official DTU protocol for one scan (eval_dtu.py:92-197).
     dataset_dir must hold ObsMask/ObsMask{scan}_10.mat,
-    ObsMask/Plane{scan}.mat, Points/stl/stl{scan:03}_total.ply."""
+    ObsMask/Plane{scan}.mat, Points/stl/stl{scan:03}_total.ply.
+    mode 'mesh' samples the predicted mesh first (eval_dtu.py:62-88)."""
     from s_volsdf_tpu.data.io import load_ply
-    data_pcd, _ = load_ply(pred_ply)
+    if mode == "mesh":
+        data_pcd = mesh_to_pcd(pred_ply)
+    else:
+        data_pcd, _ = load_ply(pred_ply)
     stl, _ = load_ply(os.path.join(dataset_dir, "Points", "stl",
                                    f"stl{scan:03d}_total.ply"))
     obsmask = os.path.join(dataset_dir, "ObsMask", f"ObsMask{scan}_10.mat")

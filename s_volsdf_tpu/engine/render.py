@@ -35,6 +35,73 @@ def _render_chunk(params, uv, pose, intrinsics, rng, *, cfg: ModelConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fast"))
+def _depth_chunk(params, uv, pose, intrinsics, rng, *, cfg: ModelConfig,
+                 fast: int):
+    """Depth/acc only — skips the radiance MLP and normal computation
+    (cascade feedback needs just the depth map, runner.py:239-243)."""
+    import jax.numpy as jnp
+    from s_volsdf_tpu.models.density import get_beta, laplace_density
+    from s_volsdf_tpu.models.network import (sdf_values, volume_rendering)
+    from s_volsdf_tpu.models.sampler import error_bound_sample
+    from s_volsdf_tpu.utils.cameras import (depth_scale_factor,
+                                            get_camera_params)
+
+    bounding = 0.0 if (cfg.white_bkgd or cfg.with_background) \
+        else cfg.scene_bounding_sphere
+    ray_dirs, cam_loc = get_camera_params(uv, pose, intrinsics)
+    depth_scale = depth_scale_factor(uv, intrinsics)
+    B, N, _ = ray_dirs.shape
+    R = B * N
+    ray_dirs = ray_dirs.reshape(R, 3)
+    cam_loc = jnp.broadcast_to(cam_loc[:, None, :], (B, N, 3)).reshape(R, 3)
+    depth_scale = depth_scale.reshape(R, 1)
+
+    sdf_fn = lambda pts: sdf_values(params["sdf"], cfg, pts, bounding)
+    beta0 = get_beta(params["density"], cfg.density.beta_min)
+    n_iters = fast if fast >= 0 else cfg.sampler.max_total_iters
+    s_out = error_bound_sample(
+        rng, cfg.sampler, ray_dirs, cam_loc, sdf_fn, beta0,
+        n_iters=n_iters, training=False,
+        scene_bounding_sphere=cfg.scene_bounding_sphere)
+    z_vals = s_out.z_vals
+    if cfg.with_background:
+        z_vals = z_vals[:, :-1]
+    pts = cam_loc[:, None, :] + z_vals[..., None] * ray_dirs[:, None, :]
+    sdf = sdf_fn(pts.reshape(-1, 3)).reshape(z_vals.shape)
+    density = laplace_density(sdf, beta0)
+    weights = volume_rendering(z_vals, density)
+    depth = jnp.sum(weights * z_vals, axis=1, keepdims=True) / (
+        jnp.sum(weights, axis=1, keepdims=True) + 1e-8)
+    return {"depth_values": depth * depth_scale,
+            "acc": jnp.sum(weights, axis=-1)}
+
+
+def render_depth(params, cfg: ModelConfig, pose, intrinsics,
+                 img_res: Tuple[int, int], *, chunk: int = 16384,
+                 fast: int = -1, rng=None) -> Dict[str, np.ndarray]:
+    """Depth-only full-image render (cascade feedback path)."""
+    H, W = img_res
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    ys, xs = np.mgrid[0:H, 0:W]
+    uv = np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float32)
+    n = uv.shape[0]
+    n_pad = (-n) % chunk
+    uv = np.concatenate([uv, np.zeros((n_pad, 2), np.float32)], axis=0)
+    pose_b = jnp.asarray(pose)[None]
+    intr_b = jnp.asarray(intrinsics)[None]
+    outs = []
+    for i in range(0, uv.shape[0], chunk):
+        o = _depth_chunk(params, jnp.asarray(uv[i:i + chunk])[None],
+                         pose_b, intr_b, rng, cfg=cfg, fast=fast)
+        outs.append(jax.tree.map(np.asarray, o))
+    depth = np.concatenate(
+        [o["depth_values"].reshape(chunk) for o in outs])[:n].reshape(H, W)
+    acc = np.concatenate(
+        [o["acc"].reshape(chunk) for o in outs])[:n].reshape(H, W)
+    return {"depth": depth, "acc": acc}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fast"))
 def _render_chunk_bg(params, uv, pose, intrinsics, near_pose, rng, *,
                      cfg: ModelConfig, fast: int):
     from s_volsdf_tpu.models.network_bg import render_rays_bg

@@ -340,8 +340,15 @@ class VolTrainer:
     def render_mvs(self, view_idx: int) -> np.ndarray:
         """Full-res depth of a training view for cascade feedback
         (vsdf.py:310-320 + 267-270): depth * scale_factor, low-
-        accumulation pixels pushed to the far depth."""
-        maps = self.render_view(view_idx, fast=-1)
+        accumulation pixels pushed to the far depth. Uses the
+        depth-only render path (no radiance/normals needed)."""
+        from s_volsdf_tpu.engine.render import render_depth
+        with self.timer.phase("render_mvs"):
+            maps = render_depth(
+                self.state.params, self.cfg.model,
+                self.scene.poses[view_idx],
+                self.scene.intrinsics[view_idx], self.scene.img_res,
+                fast=-1)
         depth = maps["depth"] * self.scale_factor
         acc = maps["acc"]
         far = depth.max()

@@ -119,3 +119,26 @@ def test_lpips_converter_shapes(rng_np):
     d = lpips_distance(params, img, other)
     assert d.shape == (1,) and float(d[0]) > 0
     assert float(lpips_distance(params, img, img)[0]) < 1e-6
+
+
+def test_mesh_mode_chamfer(tmp_path, rng_np):
+    """mesh-mode eval: sampled mesh vs a point cloud of the same
+    sphere -> tiny chamfer."""
+    from s_volsdf_tpu.data.io import save_ply
+    from s_volsdf_tpu.engine.mesh import marching_cubes
+    from s_volsdf_tpu.engine.eval_geo import chamfer, mesh_to_pcd
+
+    xs = np.linspace(-12, 12, 48)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    vol = np.sqrt(gx**2 + gy**2 + gz**2) - 8.0
+    verts, faces = marching_cubes(vol.astype(np.float32), 0.0,
+                                  ((xs[1]-xs[0]),)*3)
+    verts = verts + xs[0]
+    ply = str(tmp_path / "mesh.ply")
+    save_ply(ply, verts, faces=faces)
+
+    pcd = mesh_to_pcd(ply, target_density=0.5)
+    assert pcd.shape[0] > verts.shape[0]
+    gt = sphere_points(20000, 8.0, rng_np)
+    r = chamfer(pcd, gt, downsample=0.5)
+    assert r["overall"] < 0.6, r

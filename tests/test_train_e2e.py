@@ -72,3 +72,19 @@ def test_training_reduces_loss():
     assert np.isfinite(losses).all()
     assert last < first, f"loss did not decrease: {first} -> {last}"
     assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]), "psnr did not improve"
+
+
+def test_render_depth_matches_full_render():
+    """Depth-only feedback path == full render's depth (fg model)."""
+    import jax
+    from s_volsdf_tpu.engine.render import render_depth, render_image
+
+    cfg = tiny_config()
+    scene = make_sphere_scene(n_views=3, img_res=(16, 24))
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    full = render_image(params, cfg.model, scene.poses[0],
+                        scene.intrinsics[0], (16, 24), chunk=128, fast=1)
+    dep = render_depth(params, cfg.model, scene.poses[0],
+                       scene.intrinsics[0], (16, 24), chunk=128, fast=1)
+    np.testing.assert_allclose(dep["depth"], full["depth"], atol=1e-4)
+    np.testing.assert_allclose(dep["acc"], full["acc"], atol=1e-4)

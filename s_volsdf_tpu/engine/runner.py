@@ -269,9 +269,15 @@ def save_scene_depth(cfg: Config, scene_name: str, *,
     return {"trainer": trainer, "outdir": outdir, "epoch": epoch}
 
 
-def pcd_filter(cfg: Config, testlist: List[str], exps_root: str = ".") -> List[str]:
+def pcd_filter(cfg: Config, testlist: List[str], exps_root: str = ".",
+               *, all_hosts: bool = False) -> List[str]:
     """Fusion over scenes (reference runner.py:406-432 used mp.Pool;
-    vectorized fusion makes a plain loop faster than fork overhead)."""
+    vectorized fusion makes a plain loop faster than fork overhead).
+    On multi-host deployments each process fuses only its own scene
+    slice unless all_hosts=True."""
+    from s_volsdf_tpu.parallel.multihost import partition_scenes
+    if not all_hosts:
+        testlist = partition_scenes(testlist)
     outdir = os.path.join(exps_root, cfg.outdir)
     plys = []
     for scan in testlist:
@@ -295,8 +301,17 @@ def pcd_filter(cfg: Config, testlist: List[str], exps_root: str = ".") -> List[s
 
 def save_depth(cfg: Config, testlist: List[str], *,
                mvs_weights: Optional[str] = None,
-               exps_root: str = ".") -> None:
-    """Per-scene loop with per-scan overrides (runner.py:46-71)."""
+               exps_root: str = ".", all_hosts: bool = False) -> None:
+    """Per-scene loop with per-scan overrides (runner.py:46-71).
+
+    Multi-host: scenes are embarrassingly parallel, so each host
+    process runs only its round-robin slice of the scan list (DCN-level
+    scene parallelism replacing the reference's mp.Pool; SURVEY.md §7
+    step 7). Pass all_hosts=True to force the full list.
+    """
+    from s_volsdf_tpu.parallel.multihost import partition_scenes
+    if not all_hosts:
+        testlist = partition_scenes(testlist)
     for scene in testlist:
         scene_cfg = per_scene_overrides(cfg, scene)
         logger.info(

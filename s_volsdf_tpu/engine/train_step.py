@@ -71,23 +71,15 @@ def _loss_fn(params, cfg: Config, batch: Dict, rng,
     return loss_out.loss, loss_out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "use_mvs"))
-def train_step(state: TrainState, batch: Dict, rng, mvs: Optional[MVSVolumes],
-               *, cfg: Config, tx, use_mvs: bool
-               ) -> Tuple[TrainState, LossOutput]:
-    """One optimization step.
+def guarded_update(tx, state: TrainState, grads,
+                   loss_out: LossOutput) -> TrainState:
+    """NaN/Inf gradient guard + optimizer apply (vsdf.py:454-464).
 
-    batch: uv (B,N,2), pose (B,4,4), intrinsics (B,4,4), rgb (B,N,3),
-    rgb_smooth (B,N,3), view_onehot (V,) — 1.0 at the training view
-    index of this batch (drives the pi/pj split in cost_mapping).
+    Skips the update entirely when any gradient leaf or the loss is
+    non-finite. The loss check matters: JAX's |x - NaN| gradient is
+    finite-but-garbage (sign(NaN) -> ±1), so grads alone can miss data
+    NaNs.
     """
-    mvs_in = mvs if use_mvs else None
-    grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
-        state.params, cfg, batch, rng, mvs_in, state.iter_step)
-
-    # NaN/Inf guard: skip the update entirely (vsdf.py:454-464). Also
-    # checks the loss — JAX's |x - NaN| gradient is finite-but-garbage
-    # (sign(NaN) -> ±1), so grads alone can miss data NaNs.
     leaves = jax.tree_util.tree_leaves(grads)
     finite = jnp.all(jnp.asarray(
         [jnp.all(jnp.isfinite(g)) for g in leaves]))
@@ -103,5 +95,84 @@ def train_step(state: TrainState, batch: Dict, rng, mvs: Optional[MVSVolumes],
         lambda n, o: jnp.where(finite, n, o), new_params, state.params)
     new_opt_state = jax.tree.map(
         lambda n, o: jnp.where(finite, n, o), new_opt_state, state.opt_state)
+    return TrainState(new_params, new_opt_state, state.iter_step + 1)
 
-    return TrainState(new_params, new_opt_state, state.iter_step + 1), loss_out
+
+def sample_train_batch(scene: Dict, rng, *, n_views: int,
+                       img_res: Tuple[int, int], n_rays: int,
+                       shard_axis: Optional[str] = None):
+    """On-device pixel sampling for one step (replaces the reference's
+    host DataLoader + resample, vsdf.py:200-203, 232).
+
+    All lanes of a sharded step pick the SAME view (the reference draws
+    one training view per step); with `shard_axis` set, the pixel and
+    per-step RNG keys are folded with the chip index so each chip
+    renders an independent ray shard of the global batch.
+
+    Returns (batch, k_step).
+    """
+    H, W = img_res
+    total_pixels = H * W
+    k_view, k_pix, k_step = jax.random.split(rng, 3)
+    if shard_axis is not None:
+        idx = jax.lax.axis_index(shard_axis)
+        k_pix = jax.random.fold_in(k_pix, idx)
+        k_step = jax.random.fold_in(k_step, idx)
+    view = jax.random.randint(k_view, (), 0, n_views)
+    pix = jax.random.randint(k_pix, (n_rays,), 0, total_pixels)
+
+    ys = (pix // W).astype(jnp.float32)
+    xs = (pix % W).astype(jnp.float32)
+    uv = jnp.stack([xs, ys], axis=-1)
+
+    batch = {
+        "uv": uv[None],
+        "rgb": scene["rgb"][view][pix][None],
+        "rgb_smooth": scene["rgb_smooth"][view][pix][None],
+        "pose": scene["poses"][view][None],
+        "intrinsics": scene["intrinsics"][view][None],
+        "view_onehot": jax.nn.one_hot(view, n_views),
+    }
+    return batch, k_step
+
+
+def make_one_step(cfg: Config, tx, *, use_mvs: bool, n_views: int,
+                  img_res: Tuple[int, int], n_rays: Optional[int] = None,
+                  shard_axis: Optional[str] = None):
+    """Build the scan-body step: sample pixels on device, grad, guard,
+    update. With `shard_axis`, grads and loss stats are pmean-averaged
+    over that mesh axis before the (replicated) update — the multi-chip
+    variant keeps the exact structure of the single-chip body.
+    """
+    n_rays = n_rays if n_rays is not None else cfg.train.num_pixels
+
+    def one_step(scene, mvs, state: TrainState, rng):
+        batch, k_step = sample_train_batch(
+            scene, rng, n_views=n_views, img_res=img_res, n_rays=n_rays,
+            shard_axis=shard_axis)
+        grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
+            state.params, cfg, batch, k_step,
+            mvs if use_mvs else None, state.iter_step)
+        if shard_axis is not None:
+            grads = jax.lax.pmean(grads, shard_axis)
+            loss_out = jax.tree.map(
+                lambda x: jax.lax.pmean(x, shard_axis), loss_out)
+        return guarded_update(tx, state, grads, loss_out), loss_out
+
+    return one_step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "use_mvs"))
+def train_step(state: TrainState, batch: Dict, rng, mvs: Optional[MVSVolumes],
+               *, cfg: Config, tx, use_mvs: bool
+               ) -> Tuple[TrainState, LossOutput]:
+    """One optimization step on a host-provided batch.
+
+    batch: uv (B,N,2), pose (B,4,4), intrinsics (B,4,4), rgb (B,N,3),
+    rgb_smooth (B,N,3), view_onehot (V,) — 1.0 at the training view
+    index of this batch (drives the pi/pj split in cost_mapping).
+    """
+    mvs_in = mvs if use_mvs else None
+    grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
+        state.params, cfg, batch, rng, mvs_in, state.iter_step)
+    return guarded_update(tx, state, grads, loss_out), loss_out

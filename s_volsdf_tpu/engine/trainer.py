@@ -7,7 +7,8 @@ Key departures from /root/reference/volsdf/vsdf.py:18-367:
     dispatches (the reference pays a host->GPU transfer per step,
     vsdf.py:200-203).
   * State is a pytree (params, opt state, iter counter) checkpointed
-    with orbax instead of torch .pth pairs.
+    as flat npz ("latest" + per-epoch snapshots) instead of torch .pth
+    pairs (utils/checkpoint.py).
   * Rendering for cascade feedback uses the jitted chunked renderer.
 """
 
@@ -42,47 +43,9 @@ def make_scan_train_fn(cfg: Config, tx, *, use_mvs: bool, n_views: int,
     """Build a jitted function running len(rngs) optimization steps
     with on-device pixel sampling (replaces vsdf.py:196-235 + the
     host DataLoader). One compiled program per distinct chunk length."""
-    H, W = img_res
-    total_pixels = H * W
-    n_rays = cfg.train.num_pixels
-
-    import optax
-
-    def one_step(scene, mvs, state, rng):
-        k_view, k_pix, k_step = jax.random.split(rng, 3)
-        view = jax.random.randint(k_view, (), 0, n_views)
-        pix = jax.random.randint(k_pix, (n_rays,), 0, total_pixels)
-
-        ys = (pix // W).astype(jnp.float32)
-        xs = (pix % W).astype(jnp.float32)
-        uv = jnp.stack([xs, ys], axis=-1)
-
-        batch = {
-            "uv": uv[None],
-            "rgb": scene["rgb"][view][pix][None],
-            "rgb_smooth": scene["rgb_smooth"][view][pix][None],
-            "pose": scene["poses"][view][None],
-            "intrinsics": scene["intrinsics"][view][None],
-            "view_onehot": jax.nn.one_hot(view, n_views),
-        }
-        grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
-            state.params, cfg, batch, k_step,
-            mvs if use_mvs else None, state.iter_step)
-
-        leaves = jax.tree_util.tree_leaves(grads)
-        finite = jnp.all(jnp.asarray(
-            [jnp.all(jnp.isfinite(g)) for g in leaves]))
-        finite = finite & jnp.isfinite(loss_out.loss)
-        grads = jax.tree.map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_params, state.params)
-        new_opt = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_opt, state.opt_state)
-        new_state = TrainState(new_params, new_opt, state.iter_step + 1)
-        return new_state, loss_out
+    from s_volsdf_tpu.engine.train_step import make_one_step
+    one_step = make_one_step(cfg, tx, use_mvs=use_mvs, n_views=n_views,
+                             img_res=img_res)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state: TrainState, rngs, scene: Dict,
@@ -226,10 +189,38 @@ class VolTrainer:
 
     def _get_loop(self, use_mvs: bool):
         if use_mvs not in self._loops:
-            self._loops[use_mvs] = make_scan_train_fn(
-                self.cfg, self.tx, use_mvs=use_mvs,
-                n_views=len(self.trains_i), img_res=self.scene.img_res)
+            self._loops[use_mvs] = self._build_loop(use_mvs)
         return self._loops[use_mvs]
+
+    def _build_loop(self, use_mvs: bool):
+        """Single-chip scan loop, or the ray-sharded multi-chip variant
+        when ParallelConfig asks for it and >1 device is visible. Both
+        share the (state, rngs, scene, mvs) chunk signature."""
+        pcfg = self.cfg.parallel
+        n_dev = len(jax.devices())
+        if pcfg.shard_rays and n_dev > 1:
+            if self.cfg.train.num_pixels % n_dev == 0:
+                from s_volsdf_tpu.parallel.mesh import make_mesh
+                from s_volsdf_tpu.parallel.train_parallel import (
+                    make_sharded_scan_train_fn)
+                mesh = make_mesh(pcfg.mesh_shape, pcfg.mesh_axes)
+                axis = pcfg.mesh_axes[0]
+                logger.info(
+                    f"ray-sharded training over {mesh.shape[axis]} "
+                    f"devices ({self.cfg.train.num_pixels} rays/step, "
+                    f"{self.cfg.train.num_pixels // mesh.shape[axis]} "
+                    f"per chip)")
+                return make_sharded_scan_train_fn(
+                    self.cfg, self.tx, mesh, use_mvs=use_mvs,
+                    n_views=len(self.trains_i),
+                    img_res=self.scene.img_res, axis=axis)
+            logger.warning(
+                f"parallel.shard_rays set but train.num_pixels="
+                f"{self.cfg.train.num_pixels} is not divisible by "
+                f"{n_dev} devices; falling back to single-device loop")
+        return make_scan_train_fn(
+            self.cfg, self.tx, use_mvs=use_mvs,
+            n_views=len(self.trains_i), img_res=self.scene.img_res)
 
     def run(self, opt_stepN: int, log_every: int = 1000) -> int:
         """Optimize for opt_stepN steps; returns the epoch counter
@@ -251,6 +242,11 @@ class VolTrainer:
         logger.info(f"train volsdf at {self.checkpoints_path}: "
                     f"start={start} steps={opt_stepN} use_mvs={use_mvs}")
         next_log = log_every
+        # Per-epoch snapshots alongside "latest" (reference keeps
+        # latest.pth + per-epoch .pth every checkpoint_freq epochs,
+        # vsdf.py:178-194; 1 epoch = one pass over the train views).
+        snap_every = max(self.cfg.train.checkpoint_freq * len(ti), 1)
+        next_snap = snap_every
         # First render after one render_freq worth of steps; -1 off.
         self._next_render = (self.cfg.train.render_freq * len(ti)
                              if self.cfg.train.render_freq > 0 else -1)
@@ -290,10 +286,15 @@ class VolTrainer:
             if self._next_render >= 0 and done >= self._next_render:
                 self._plot_render(step_now)
                 self._next_render += rf
+            if done >= next_snap:
+                epoch_now = (start + done) // max(len(ti), 1)
+                self.save_checkpoint(f"epoch_{epoch_now}")
+                next_snap = ((done // snap_every) + 1) * snap_every
             if (done // max(self.chunk_steps, 1)) % 50 == 0:
                 self.save_checkpoint()
         self.epoch += max(1, opt_stepN // max(len(ti), 1))
         self.save_checkpoint()
+        self.save_checkpoint(f"epoch_{self.epoch}")
         return self.epoch
 
     def _plot_render(self, step: int):

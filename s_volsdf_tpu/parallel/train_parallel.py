@@ -1,34 +1,89 @@
 """Multi-chip VolSDF training: rays sharded over the mesh, gradients
-psum-averaged over ICI.
+psum-averaged over ICI; or whole scenes sharded over the mesh.
 
 New capability vs the single-GPU reference (SURVEY.md sections 2.9, 7):
-one scene's per-step ray batch (the reference's 512 random pixels,
-config/ours.yaml:11) splits across chips under `shard_map`; parameters
-and MVS volumes are replicated; each chip renders its ray shard and the
-gradient is `psum`-averaged before the (replicated) Adam update. This
-is pure data parallelism along rays — the only cross-chip traffic is
-one gradient all-reduce per step, riding ICI.
+
+* `make_sharded_scan_train_fn` — the PRODUCTION multi-chip loop. One
+  scene's per-step ray batch (the reference's 512 random pixels,
+  config/ours.yaml:11) splits across chips: each chip samples its own
+  n_rays/n_chips pixels on device (same view on every chip, per-chip
+  folded pixel RNG), renders them, and the gradient is pmean-averaged
+  before the replicated Adam update. The whole multi-step chunk is ONE
+  XLA program (`lax.scan` inside `shard_map`), preserving the
+  one-dispatch-per-chunk property of the single-chip trainer
+  (engine/trainer.py) — the only cross-chip traffic is one gradient
+  all-reduce per step, riding ICI.
+
+* `make_sharded_train_step` — single-step variant on a host-provided
+  batch with the ray axis explicitly sharded; used by tests and the
+  driver dryrun to validate sharding semantics.
+
+* `make_sharded_multiscene_train_fn` — S independent per-scene
+  optimizations sharded over a 'scene' mesh axis (embarrassingly
+  parallel, zero collectives): the TPU answer to the reference's
+  mp.Pool over scenes (/root/reference/runner.py:420-432).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from s_volsdf_tpu.config import Config
-from s_volsdf_tpu.engine.train_step import TrainState, _loss_fn
+from s_volsdf_tpu.engine.train_step import (TrainState, _loss_fn,
+                                            guarded_update, make_one_step)
 from s_volsdf_tpu.models.loss import LossOutput
 from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
 
 
+def make_sharded_scan_train_fn(cfg: Config, tx, mesh: Mesh, *,
+                               use_mvs: bool, n_views: int,
+                               img_res: Tuple[int, int],
+                               axis: str = "rays"):
+    """Scan-fused multi-chip training chunk (see module docstring).
+
+    Drop-in replacement for engine.trainer.make_scan_train_fn: same
+    (state, rngs, scene, mvs) -> (state, losses) signature with all
+    inputs/outputs replicated; cfg.train.num_pixels is the GLOBAL ray
+    count and must divide by mesh.shape[axis].
+    """
+    n_chips = mesh.shape[axis]
+    n_rays = cfg.train.num_pixels
+    if n_rays % n_chips != 0:
+        raise ValueError(
+            f"train.num_pixels={n_rays} not divisible by mesh axis "
+            f"{axis!r} size {n_chips}")
+    one_step = make_one_step(cfg, tx, use_mvs=use_mvs, n_views=n_views,
+                             img_res=img_res, n_rays=n_rays // n_chips,
+                             shard_axis=axis)
+
+    def per_chip_chunk(state, rngs, scene, mvs):
+        step = lambda carry, rng: one_step(scene, mvs, carry, rng)
+        return jax.lax.scan(step, state, rngs)
+
+    sharded = shard_map(
+        per_chip_chunk, mesh=mesh,
+        in_specs=(P(), P(), P(), P() if use_mvs else None),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state: TrainState, rngs, scene: Dict,
+                  mvs: Optional[MVSVolumes]
+                  ) -> Tuple[TrainState, LossOutput]:
+        return sharded(state, rngs, scene, mvs)
+
+    run_chunk.one_step = one_step
+    return run_chunk
+
+
 def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, *, use_mvs: bool,
                             axis: str = "rays"):
-    """Build a jitted multi-chip train step.
+    """Build a jitted multi-chip train step on a host-provided batch.
 
     Batch layout: uv/rgb/rgb_smooth are (B, N, ...) with N divisible by
     mesh.shape[axis]; pose/intrinsics/view_onehot replicated.
@@ -42,22 +97,9 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, *, use_mvs: bool,
             params, cfg, batch, rng, mvs_in, iter_step)
         grads = jax.lax.pmean(grads, axis)
         loss_out = jax.tree.map(lambda x: jax.lax.pmean(x, axis), loss_out)
-
-        # NaN/Inf guard incl. loss (see engine/train_step.py).
-        leaves = jax.tree_util.tree_leaves(grads)
-        finite = jnp.all(jnp.asarray(
-            [jnp.all(jnp.isfinite(g)) for g in leaves]))
-        finite = finite & jnp.isfinite(loss_out.loss)
-        grads = jax.tree.map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        new_params = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_params, params)
-        new_opt_state = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state)
-        return new_params, new_opt_state, loss_out
+        state = guarded_update(
+            tx, TrainState(params, opt_state, iter_step), grads, loss_out)
+        return state.params, state.opt_state, loss_out
 
     batch_spec = {
         "uv": P(None, axis, None),
@@ -73,7 +115,7 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, *, use_mvs: bool,
         per_shard, mesh=mesh,
         in_specs=(P(), P(), P(), batch_spec, P(), mvs_spec),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def step(state: TrainState, batch: Dict, rng,
@@ -83,3 +125,41 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, *, use_mvs: bool,
         return TrainState(new_params, new_opt, state.iter_step + 1), loss_out
 
     return step
+
+
+def make_sharded_multiscene_train_fn(cfg: Config, tx, mesh: Mesh, *,
+                                     use_mvs: bool, n_views: int,
+                                     img_res: Tuple[int, int],
+                                     axis: str = "scene"):
+    """S independent per-scene optimizations, scenes sharded over
+    `axis` (S divisible by the axis size; use S == axis size for one
+    scene per chip). All pytrees (states, scene tensors, MVS volumes,
+    rngs) carry a leading S axis. Zero cross-chip collectives — each
+    chip advances its own scenes' scan; per-scene trajectories are
+    bit-identical to solo runs of the same rng stream.
+    """
+    one_step = make_one_step(cfg, tx, use_mvs=use_mvs, n_views=n_views,
+                             img_res=img_res)
+
+    def scene_scan(state, rngs, scene, mvs):
+        step = lambda carry, rng: one_step(scene, mvs, carry, rng)
+        return jax.lax.scan(step, state, rngs)
+
+    def per_chip(states, rngs, scenes, mvs):
+        return jax.vmap(scene_scan)(states, rngs, scenes, mvs)
+
+    spec = P(axis)
+    sharded = shard_map(
+        per_chip, mesh=mesh,
+        in_specs=(spec, spec, spec, spec if use_mvs else None),
+        out_specs=(spec, spec),
+        check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(states: TrainState, rngs, scenes: Dict,
+                  mvs: Optional[MVSVolumes]
+                  ) -> Tuple[TrainState, LossOutput]:
+        # rngs: (S, T, 2); states/scenes/mvs: leading S axis.
+        return sharded(states, rngs, scenes, mvs)
+
+    return run_chunk

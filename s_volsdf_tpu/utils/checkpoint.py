@@ -1,10 +1,13 @@
 """Checkpointing: pytree save/restore (replaces torch .pth pairs,
 reference vsdf.py:128-144, 178-194).
 
-orbax-backed when available, with a plain npz fallback — both store the
-full TrainState (params, optimizer state, iter counter) plus a small
-json metadata sidecar (epoch), so resume restores model, optimizer,
-epoch and iter_step exactly like the reference (vsdf.py:104-111).
+Format: a single npz per checkpoint (flattened TrainState leaves:
+params, optimizer state, iter counter) plus a small json metadata
+sidecar (epoch), so resume restores model, optimizer, epoch and
+iter_step exactly like the reference (vsdf.py:104-111). npz is chosen
+deliberately over orbax: per-scene states are ~2 MB, saves are
+synchronous and off the hot path, and the flat format has zero
+dependency surface — async/sharded checkpointing buys nothing here.
 """
 
 from __future__ import annotations

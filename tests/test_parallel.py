@@ -1,0 +1,245 @@
+"""Tests for the parallel package on the 8-device virtual CPU mesh
+(conftest forces jax_num_cpu_devices=8).
+
+Covers: sharded-step == manually-pmean'd single-device grads on the
+same global batch; the production scan-fused sharded chunk across
+chunk boundaries; scene-axis sharding matching solo trajectories; the
+NaN guard under shard_map; and VolTrainer loop selection.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s_volsdf_tpu.config import load_config
+from s_volsdf_tpu.data.synthetic import make_sphere_scene, sample_rays
+from s_volsdf_tpu.engine.train_step import (_loss_fn, guarded_update,
+                                            init_train_state, make_optimizer,
+                                            TrainState)
+from s_volsdf_tpu.engine.trainer import make_scan_train_fn
+from s_volsdf_tpu.models.network import init_volsdf_params
+from s_volsdf_tpu.parallel.mesh import make_mesh
+from s_volsdf_tpu.parallel.train_parallel import (
+    make_sharded_multiscene_train_fn, make_sharded_scan_train_fn,
+    make_sharded_train_step)
+
+
+def tiny_cfg(**extra):
+    overrides = [
+        "train.num_pixels=64",
+        "model.implicit.dims=[32,32]",
+        "model.implicit.skip_in=[]",
+        "model.rendering.dims=[32]",
+        "model.feature_vector_size=32",
+        "model.sampler.N_samples=8",
+        "model.sampler.N_samples_eval=16",
+        "model.sampler.N_samples_extra=4",
+        "loss.mvs_weight=0", "loss.sparse_weight=0", "loss.anneal_rgb=0",
+    ] + [f"{k}={v}" for k, v in extra.items()]
+    return load_config("dtu", overrides=overrides)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    scene = make_sphere_scene(3, (24, 32))
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(cfg)
+    scene_dev = {
+        "rgb": jnp.asarray(scene.images.reshape(3, -1, 3)),
+        "rgb_smooth": jnp.asarray(scene.images.reshape(3, -1, 3)),
+        "poses": jnp.asarray(scene.poses),
+        "intrinsics": jnp.asarray(scene.intrinsics),
+    }
+    return cfg, scene, params, tx, scene_dev
+
+
+def global_batch(scene, cfg, view=0, seed=0):
+    rng_np = np.random.default_rng(seed)
+    uv, rgb = sample_rays(scene, rng_np, view, cfg.train.num_pixels)
+    return {
+        "uv": jnp.asarray(uv)[None], "rgb": jnp.asarray(rgb)[None],
+        "rgb_smooth": jnp.asarray(rgb)[None],
+        "pose": jnp.asarray(scene.poses[view])[None],
+        "intrinsics": jnp.asarray(scene.intrinsics[view])[None],
+        "view_onehot": jnp.zeros((3,)).at[view].set(1.0),
+    }
+
+
+def test_sharded_step_matches_manual_pmean(setup):
+    """The sharded step's update == averaging the per-shard grads (each
+    computed with the documented per-chip folded rng) on one device."""
+    cfg, scene, params, tx, _ = setup
+    mesh = make_mesh((-1,), ("rays",))
+    n_chips = mesh.shape["rays"]
+    batch = global_batch(scene, cfg)
+    rng = jax.random.PRNGKey(7)
+
+    step_fn = make_sharded_train_step(cfg, tx, mesh, use_mvs=False)
+    state = init_train_state(cfg, params, tx)
+    new_state, loss_out = step_fn(state, batch, rng, None)
+
+    # Manual reference: same shards, same folded rngs, mean of grads.
+    n_local = cfg.train.num_pixels // n_chips
+    grads_sum, losses = None, []
+    for i in range(n_chips):
+        sl = slice(i * n_local, (i + 1) * n_local)
+        shard = dict(batch)
+        for k in ("uv", "rgb", "rgb_smooth"):
+            shard[k] = batch[k][:, sl]
+        g, lo = jax.grad(_loss_fn, has_aux=True)(
+            params, cfg, shard, jax.random.fold_in(rng, i), None,
+            jnp.asarray(0, jnp.int32))
+        losses.append(float(lo.loss))
+        grads_sum = g if grads_sum is None else jax.tree.map(
+            jnp.add, grads_sum, g)
+    grads_mean = jax.tree.map(lambda x: x / n_chips, grads_sum)
+
+    assert np.isclose(float(loss_out.loss), np.mean(losses), rtol=1e-5)
+    ref_state = guarded_update(
+        tx, init_train_state(cfg, params, tx), grads_mean, loss_out)
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_scan_chunks_converge(setup):
+    """Production multi-chip loop: loss finite and decreasing across
+    >= 2 chunk boundaries; params actually update."""
+    cfg, scene, params, tx, scene_dev = setup
+    mesh = make_mesh((-1,), ("rays",))
+    run = make_sharded_scan_train_fn(cfg, tx, mesh, use_mvs=False,
+                                     n_views=3, img_res=scene.img_res)
+    state = init_train_state(cfg, params, tx)
+    p0 = jax.tree.map(np.asarray, params)
+
+    all_losses = []
+    key = jax.random.PRNGKey(3)
+    for chunk in range(3):
+        key, sub = jax.random.split(key)
+        state, losses = run(state, jax.random.split(sub, 20),
+                            scene_dev, None)
+        all_losses.append(np.asarray(losses.loss))
+    losses = np.concatenate(all_losses)
+    assert np.all(np.isfinite(losses))
+    assert losses[-5:].mean() < losses[:5].mean()
+    assert int(state.iter_step) == 60
+    moved = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(p0)))
+    assert moved
+
+
+def test_sharded_scan_rejects_indivisible_rays(setup):
+    cfg, scene, params, tx, scene_dev = setup
+    bad = tiny_cfg(**{"train.num_pixels": 60})
+    mesh = make_mesh((-1,), ("rays",))
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_scan_train_fn(bad, tx, mesh, use_mvs=False,
+                                   n_views=3, img_res=scene.img_res)
+
+
+def test_multiscene_sharded_matches_solo(setup):
+    """Scenes sharded over the mesh: each scene's trajectory matches a
+    solo single-device run with the same rng stream."""
+    cfg, scene, params, tx, scene_dev = setup
+    mesh = make_mesh((-1,), ("scene",))
+    S = mesh.shape["scene"]
+    T = 10
+
+    run_ms = make_sharded_multiscene_train_fn(
+        cfg, tx, mesh, use_mvs=False, n_views=3, img_res=scene.img_res)
+
+    def fresh_state():
+        p = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+        return init_train_state(cfg, p, tx)
+
+    states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[fresh_state() for _ in range(S)])
+    scenes = jax.tree.map(lambda x: jnp.stack([x] * S), scene_dev)
+    rngs = jnp.stack([jax.random.split(jax.random.PRNGKey(100 + s), T)
+                      for s in range(S)])
+    states, losses_ms = run_ms(states, rngs, scenes, None)
+    losses_ms = np.asarray(losses_ms.loss)   # (S, T)
+
+    run_1 = make_scan_train_fn(cfg, tx, use_mvs=False, n_views=3,
+                               img_res=scene.img_res)
+    for s in (0, S - 1):
+        st = fresh_state()
+        st, losses_1 = run_1(st, jax.random.split(
+            jax.random.PRNGKey(100 + s), T), scene_dev, None)
+        np.testing.assert_allclose(losses_ms[s], np.asarray(losses_1.loss),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_nan_guard(setup):
+    """A poisoned batch must leave params bit-identical under shard_map."""
+    cfg, scene, params, tx, _ = setup
+    mesh = make_mesh((-1,), ("rays",))
+    step_fn = make_sharded_train_step(cfg, tx, mesh, use_mvs=False)
+    state = init_train_state(cfg, params, tx)
+    batch = global_batch(scene, cfg)
+    batch["rgb"] = batch["rgb"] * jnp.nan
+    new_state, loss_out = step_fn(state, batch, jax.random.PRNGKey(0), None)
+    assert not np.isfinite(float(loss_out.loss))
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_voltrainer_selects_sharded_loop(tmp_path):
+    """ParallelConfig drives loop selection: with 8 devices and
+    divisible num_pixels VolTrainer trains ray-sharded with no code
+    edits; parallel.shard_rays=false restores the single-device scan."""
+    from s_volsdf_tpu.data.fixtures import make_dtu_fixture
+    from s_volsdf_tpu.data.scene_dataset import load_scene
+    from s_volsdf_tpu.engine.trainer import VolTrainer
+
+    root = str(tmp_path / "data")
+    make_dtu_fixture(root, scan_id=106, img_res=(24, 32))
+    common = {
+        "data_dir_root": root, "dataset.data_dir_root": root,
+        "dataset.img_res": "[24,32]", "train.render_freq": -1,
+    }
+    cfg = tiny_cfg(**common)
+    scene = load_scene(cfg.dataset.data_dir, (24, 32), 106,
+                       cfg.num_view, root)
+
+    tr = VolTrainer(cfg, scene, "scan106", exps_root=str(tmp_path / "e1"))
+    # Loop selection: 8 devices, 64 rays divisible -> sharded chunk.
+    assert tr.cfg.parallel.shard_rays and len(jax.devices()) == 8
+    tr.run(40, log_every=1000)
+    assert int(tr.state.iter_step) == 40
+
+    cfg2 = tiny_cfg(**common, **{"parallel.shard_rays": "false"})
+    tr2 = VolTrainer(cfg2, scene, "scan106",
+                     exps_root=str(tmp_path / "e2"))
+    loop2 = tr2._build_loop(use_mvs=False)
+    # Single-device body: runs directly outside shard_map (no axis).
+    st, lo = loop2.one_step(
+        {"rgb": jnp.asarray(scene.rgb[tr2.trains_i]),
+         "rgb_smooth": jnp.asarray(scene.rgb_smooth[tr2.trains_i]),
+         "poses": jnp.asarray(scene.poses[tr2.trains_i]),
+         "intrinsics": jnp.asarray(scene.intrinsics[tr2.trains_i])},
+        None, tr2.state, jax.random.PRNGKey(0))
+    assert np.isfinite(float(lo.loss))
+
+
+def test_partition_scenes_multihost():
+    """Round-robin host partition: disjoint, load-balanced, union-exact
+    (DCN scene parallelism replacing the reference's mp.Pool)."""
+    from s_volsdf_tpu.parallel.multihost import partition_scenes
+
+    scans = [f"scan{i}" for i in range(11)]
+    parts = [partition_scenes(scans, process_index=p, process_count=4)
+             for p in range(4)]
+    assert sorted(sum(parts, [])) == sorted(scans)
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
+    seen = set()
+    for p in parts:
+        assert not (seen & set(p))
+        seen |= set(p)
+    # Single-process identity (this test env).
+    assert partition_scenes(scans) == scans

@@ -122,6 +122,10 @@ class TrainConfig:
     render_freq: int = 500
     split_n_pixels: int = 10000    # chunk for full-image render
     grad_clip: bool = True
+    # Gather precision of the packed MVS volumes in chunked training
+    # (ops/cost_mapping.py): 'bfloat16' halves gather bytes (near/far
+    # planes stay exact via a hi/lo split); 'float32' for bit-parity.
+    mvs_pack_dtype: str = "bfloat16"
 
 
 @dataclass(unsafe_hash=True)
@@ -321,6 +325,8 @@ def validate_config(cfg: Config) -> Config:
         "max_h/max_w must equal dataset.img_res (reference vsdf.py:82)"
     assert H % 32 == 0 and W % 32 == 0, \
         "img_res must be multiples of 32 for the MVS pyramids"
+    assert cfg.train.mvs_pack_dtype in ("float32", "bfloat16"), \
+        cfg.train.mvs_pack_dtype
     return cfg
 
 

@@ -105,6 +105,35 @@ def save_ply(filename: str, xyz: np.ndarray,
             frec.tofile(f)
 
 
+def read_obj(filename: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal Wavefront OBJ triangle-mesh reader (vertices + faces).
+
+    Supports `v x y z` and `f` lines with `v`, `v/vt`, `v/vt/vn`,
+    `v//vn` index styles (1-based, negative-relative allowed); polygon
+    faces are fan-triangulated. Enough for BlendedMVS textured_mesh
+    .obj files (used by the GT-cloud generator, reference
+    evals/eval_bmvs.py:139-181 reads them with open3d).
+    Returns (verts (N,3) float64, faces (M,3) int64).
+    """
+    verts: list = []
+    faces: list = []
+    with open(filename, "r", errors="ignore") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]),
+                              float(parts[3])])
+            elif line.startswith("f "):
+                idx = []
+                for tok in line.split()[1:]:
+                    i = int(tok.split("/")[0])
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):  # fan triangulation
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (np.asarray(verts, dtype=np.float64),
+            np.asarray(faces, dtype=np.int64).reshape(-1, 3))
+
+
 def load_ply(filename: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Minimal reader for the PLYs we write + common ascii/binary
     vertex-only files (enough for eval round-trips)."""

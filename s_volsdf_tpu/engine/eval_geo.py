@@ -35,20 +35,29 @@ BMVS_RELATIVE_SCALE = {
 
 
 def downsample_radius(points: np.ndarray, radius: float = 0.2,
-                      rng: Optional[np.random.Generator] = None
-                      ) -> np.ndarray:
+                      rng: Optional[np.random.Generator] = None,
+                      chunk: int = 200_000) -> np.ndarray:
     """Greedy radius downsampling (eval_dtu.py:100-116): shuffle, then
-    keep a point iff no already-kept point lies within `radius`."""
+    keep a point iff no already-kept point lies within `radius`.
+
+    Neighbor queries are streamed in `chunk`-sized blocks so the
+    neighbor lists of a real ~10M-point DTU cloud never materialize at
+    once (identical result to the one-shot query — the greedy loop
+    only consumes neighbors in index order)."""
     rng = rng or np.random.default_rng(0)
     pts = points.copy()
     rng.shuffle(pts, axis=0)
     tree = cKDTree(pts)
-    mask = np.ones(pts.shape[0], dtype=bool)
-    neighbors = tree.query_ball_point(pts, r=radius, workers=-1)
-    for cur, idxs in enumerate(neighbors):
-        if mask[cur]:
-            mask[idxs] = False
-            mask[cur] = True
+    n = pts.shape[0]
+    mask = np.ones(n, dtype=bool)
+    for start in range(0, n, chunk):
+        neighbors = tree.query_ball_point(pts[start:start + chunk],
+                                          r=radius, workers=-1)
+        for j, idxs in enumerate(neighbors):
+            cur = start + j
+            if mask[cur]:
+                mask[idxs] = False
+                mask[cur] = True
     return pts[mask]
 
 
@@ -170,6 +179,56 @@ def eval_dtu_scan(pred_ply: str, scan: int, dataset_dir: str,
     logger.info(f"scan{scan:03d} acc={res['acc']:.2f} "
                 f"comp={res['comp']:.2f} overall={res['overall']:.2f}")
     return res
+
+
+def save_bmvs_gt(scan: int, dataset_dir: str, data_dir_root: str,
+                 n_samples: int = 100000,
+                 crop_min_z: Optional[float] = None,
+                 rng: Optional[np.random.Generator] = None) -> str:
+    """Generate the BMVS GT point cloud from textured meshes
+    (reference eval_bmvs.py:139-181, `--save_gt`): merge every .obj
+    under dataset_dir/<scan-hash>/textured_mesh/, sample `n_samples`
+    points uniformly by area, write BlendedMVS/stl/scan{n}.ply.
+
+    With `crop_min_z`, additionally writes scan{n}_crop.ply keeping
+    only points above that ground plane (the released *_crop.ply files
+    crop above the ground plane + object masks; the reference repo
+    ships them precomputed and contains no generator, so the plane is
+    an explicit argument here).
+    Returns the path of the (cropped if requested) cloud.
+    """
+    import glob as _glob
+    from s_volsdf_tpu.data.io import read_obj, save_ply
+    from s_volsdf_tpu.data.splits import scan2hash
+    from s_volsdf_tpu.engine.mesh import sample_surface
+
+    gt_dir = os.path.join(dataset_dir, scan2hash(f"scan{scan}"),
+                          "textured_mesh")
+    obj_files = sorted(_glob.glob(os.path.join(gt_dir, "*.obj")))
+    if not obj_files:
+        raise FileNotFoundError(f"no .obj meshes under {gt_dir}")
+    verts_l, faces_l, off = [], [], 0
+    for f in obj_files:
+        v, t = read_obj(f)
+        verts_l.append(v)
+        faces_l.append(t + off)
+        off += v.shape[0]
+    verts = np.concatenate(verts_l, axis=0)
+    faces = np.concatenate(faces_l, axis=0)
+
+    pts = sample_surface(verts, faces, n_samples,
+                         rng=rng or np.random.default_rng(0))
+    stl_dir = os.path.join(data_dir_root, "BlendedMVS", "stl")
+    out = os.path.join(stl_dir, f"scan{scan}.ply")
+    save_ply(out, pts.astype(np.float32))
+    logger.info(f"bmvs scan{scan}: GT cloud {pts.shape[0]} pts -> {out}")
+    if crop_min_z is not None:
+        kept = pts[pts[:, 2] >= crop_min_z]
+        out = os.path.join(stl_dir, f"scan{scan}_crop.ply")
+        save_ply(out, kept.astype(np.float32))
+        logger.info(f"bmvs scan{scan}: cropped z>={crop_min_z} "
+                    f"{kept.shape[0]} pts -> {out}")
+    return out
 
 
 def eval_bmvs_scan(pred_ply: str, scan: int, data_dir_root: str,

@@ -19,7 +19,18 @@ import optax
 from s_volsdf_tpu.config import Config
 from s_volsdf_tpu.models.loss import LossOutput, compute_loss
 from s_volsdf_tpu.models.network import render_rays
-from s_volsdf_tpu.ops.cost_mapping import MVSVolumes, cost_mapping
+from s_volsdf_tpu.ops.cost_mapping import (MVSVolumes, cost_mapping,
+                                           pack_volumes)
+
+
+def pack_for_chunk(cfg: Config, mvs):
+    """Pack MVS volumes into the gather-optimized layout once per
+    chunked loop (ops/cost_mapping.py); no-op for None or pre-packed."""
+    if mvs is None or not isinstance(mvs, MVSVolumes):
+        return mvs
+    dtype = jnp.bfloat16 if cfg.train.mvs_pack_dtype == "bfloat16" \
+        else jnp.float32
+    return pack_volumes(mvs, dtype=dtype)
 
 
 class TrainState(NamedTuple):

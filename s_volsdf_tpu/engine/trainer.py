@@ -43,7 +43,7 @@ def make_scan_train_fn(cfg: Config, tx, *, use_mvs: bool, n_views: int,
     """Build a jitted function running len(rngs) optimization steps
     with on-device pixel sampling (replaces vsdf.py:196-235 + the
     host DataLoader). One compiled program per distinct chunk length."""
-    from s_volsdf_tpu.engine.train_step import make_one_step
+    from s_volsdf_tpu.engine.train_step import make_one_step, pack_for_chunk
     one_step = make_one_step(cfg, tx, use_mvs=use_mvs, n_views=n_views,
                              img_res=img_res)
 
@@ -51,6 +51,7 @@ def make_scan_train_fn(cfg: Config, tx, *, use_mvs: bool, n_views: int,
     def run_chunk(state: TrainState, rngs, scene: Dict,
                   mvs: Optional[MVSVolumes]
                   ) -> Tuple[TrainState, LossOutput]:
+        mvs = pack_for_chunk(cfg, mvs)   # hoisted out of the scan
         step = lambda carry, rng: one_step(scene, mvs, carry, rng)
         return jax.lax.scan(step, state, rngs)
 
@@ -70,11 +71,13 @@ def make_multiscene_train_fn(cfg: Config, tx, *, use_mvs: bool,
     leading S axis. Combine with shard_map over a 'scene' mesh axis to
     spread scenes across chips.
     """
+    from s_volsdf_tpu.engine.train_step import pack_for_chunk
     base = make_scan_train_fn(cfg, tx, use_mvs=use_mvs, n_views=n_views,
                               img_res=img_res)
     one_step = base.one_step
 
     def scene_scan(state, rngs, scene, mvs):
+        mvs = pack_for_chunk(cfg, mvs)   # hoisted out of the scan
         step = lambda carry, rng: one_step(scene, mvs, carry, rng)
         return jax.lax.scan(step, state, rngs)
 

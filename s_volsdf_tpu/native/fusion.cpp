@@ -58,7 +58,8 @@ extern "C" void geo_consistency(
     const double* R_rs, const double* t_rs,   // ref cam -> src cam
     const double* R_sr, const double* t_sr,   // src cam -> ref cam
     double filter_dist, double filter_diff,
-    uint8_t* mask_out, double* depth_out) {
+    uint8_t* mask_out, double* depth_out,
+    double* xs_out, double* ys_out) {
 #pragma omp parallel for schedule(static)
     for (int64_t yi = 0; yi < H; ++yi) {
         for (int64_t xi = 0; xi < W; ++xi) {
@@ -74,6 +75,8 @@ extern "C" void geo_consistency(
             double z = k[2] > 1e-12 ? k[2] : 1e-12;
             double xs = k[0] / z, ys = k[1] / z;
 
+            xs_out[idx] = xs;
+            ys_out[idx] = ys;
             double sampled = bilinear(depth_src, (int)H, (int)W, xs, ys);
 
             double ps2[3], pr2[3];

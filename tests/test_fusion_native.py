@@ -4,9 +4,9 @@ masks and near-bit depth (engine/fusion.py vs native/fusion.cpp)."""
 import numpy as np
 import pytest
 
-from s_volsdf_tpu.engine.fusion import (_geo_consistency_fast,
+from s_volsdf_tpu.engine.fusion import (_geo_consistency_native,
                                         _load_native,
-                                        check_geometric_consistency)
+                                        check_geometric_consistency_np)
 
 
 def make_pair(seed=0, H=48, W=64):
@@ -37,12 +37,14 @@ def test_native_matches_numpy_oracle():
         pytest.skip("g++ unavailable")
     for seed in range(3):
         d_ref, K1, E1, d_src, K2, E2 = make_pair(seed)
-        m_np, dr_np, _, _ = check_geometric_consistency(
+        m_np, dr_np, xs_np, ys_np = check_geometric_consistency_np(
             d_ref, K1, E1, d_src, K2, E2, 1.0, 0.01)
-        m_c, dr_c = _geo_consistency_fast(
+        m_c, dr_c, xs_c, ys_c = _geo_consistency_native(
             d_ref, K1, E1, d_src, K2, E2, 1.0, 0.01)
         np.testing.assert_array_equal(m_c, m_np)
         np.testing.assert_allclose(dr_c, dr_np, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(xs_c, xs_np, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(ys_c, ys_np, rtol=1e-9, atol=1e-9)
 
 
 def test_native_loose_thresholds_pass_most():
@@ -50,8 +52,8 @@ def test_native_loose_thresholds_pass_most():
         pytest.skip("g++ unavailable")
     d_ref, K1, E1, d_src, K2, E2 = make_pair(1)
     # Same depth map from the same camera: perfect round trip.
-    m, dr = _geo_consistency_fast(d_ref, K1, E1, d_ref, K1, E1,
-                                  1.0, 0.01)
+    m, dr, _, _ = _geo_consistency_native(d_ref, K1, E1, d_ref, K1, E1,
+                                          1.0, 0.01)
     valid = d_ref > 0
     assert m[valid].mean() > 0.99
     np.testing.assert_allclose(dr[valid], d_ref[valid], rtol=1e-5)

@@ -101,6 +101,32 @@ class MVSEngine:
     def features(self, imgs: jnp.ndarray) -> List[Dict]:
         return self._features(self.params, imgs)
 
+    def scene_feature_cache(self, imgs_all: jnp.ndarray) -> Dict:
+        """Per-view features for a scene's train views (V, H, W, 3),
+        computed ONCE per scene. The reference recomputes them per
+        cascade stage AND per reference view (runner.py:184-197) — 9x
+        redundant: per-view feature pyramids depend on neither. For
+        TransMVSNet only the DCN backbone is cacheable (the FMT
+        transformer mixes ref/src features per sample)."""
+        if self.name == "transmvsnet":
+            from s_volsdf_tpu.models.mvs.transmvsnet import \
+                trans_feature_net
+            return {"backbone": [
+                trans_feature_net(self.params["feature"], imgs_all[v])
+                for v in range(imgs_all.shape[0])]}
+        return {"feats": self._features(self.params, imgs_all)}
+
+    def sample_features(self, cache: Dict, perm: List[int]) -> List[Dict]:
+        """Assemble one sample's ordered feature list (ref first) from
+        the scene cache; runs FMT per sample for TransMVSNet."""
+        if self.name == "transmvsnet":
+            from s_volsdf_tpu.models.mvs.transmvsnet import \
+                fmt_with_pathway
+            return fmt_with_pathway(
+                self.params["fmt"],
+                [cache["backbone"][p] for p in perm])
+        return [cache["feats"][p] for p in perm]
+
     def stage(self, stage_idx: int, features, proj, depth_values,
               prev_depth, extra, img_hw, inverse_depth: bool):
         """Returns (outputs, extra). `extra` threads UCSNet variance /
@@ -175,11 +201,14 @@ def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
                                      sc["extras"])
     img_n = len(samples)
     t0 = time.time()
+    if "feat_cache" not in sc:
+        imgs_all = jnp.asarray(np.stack([s.imgs[0] for s in samples]))
+        sc["feat_cache"] = engine.scene_feature_cache(imgs_all)
     outs: List[Dict] = [None] * img_n
     new_extras: List = [None] * img_n
     for i, s in enumerate(samples):
-        imgs = jnp.asarray(s.imgs)
-        feats = engine.features(imgs)
+        perm = [sc["trains_i"].index(v) for v in s.view_ids]
+        feats = engine.sample_features(sc["feat_cache"], perm)
         prev_depth = None
         if stage_idx > 0 and outs_samples[i] is not None:
             prev_depth = jnp.asarray(outs_samples[i]["depth"])

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from s_volsdf_tpu.models.mvs import blocks as B
 from s_volsdf_tpu.models.mvs.hypotheses import (depth_range_samples,
                                                 depth_range_samples_inverse)
-from s_volsdf_tpu.models.mvs.warp import homo_warping
+from s_volsdf_tpu.models.mvs.warp import (_proj_grid, homo_warping,
+                                           pack_corners, warp_packed)
 
 STAGE_SCALES = (4, 2, 1)  # CasMVSNet.py:682-692
 
@@ -161,15 +162,18 @@ def variance_volume(features: Sequence[jnp.ndarray], proj_mats,
     n_chunks = D // chunk
     dv_chunks = depth_values.reshape(n_chunks, chunk, *depth_values.shape[1:])
     H, W, C = ref_feature.shape
+    # Pack each source once, outside the depth-chunk loop (the pack is
+    # loop-invariant; in-loop packing re-materializes it per chunk).
+    packed_srcs = [pack_corners(f) for f in src_features]
 
     def build_chunk(dv):
         ref_block = jnp.broadcast_to(ref_feature[None],
                                      (chunk,) + ref_feature.shape)
         s = ref_block
         sq = ref_block ** 2
-        for src_fea, src_proj in zip(src_features, src_projs):
-            w = homo_warping(src_fea, src_proj, ref_proj, dv,
-                             align_corners=False)
+        for packed_src, src_proj in zip(packed_srcs, src_projs):
+            grid, _ = _proj_grid(src_proj, ref_proj, dv, H, W)
+            w = warp_packed(packed_src, C, grid, align_corners=False)
             s = s + w
             sq = sq + w ** 2
         var = sq / num_views - (s / num_views) ** 2

@@ -16,7 +16,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from s_volsdf_tpu.ops.grid_sample import grid_sample_2d
+from s_volsdf_tpu.ops.grid_sample import grid_sample_2d_packed, pack_corners
+
+# Byte budget for one packed-gather block's (N, P) output — the peak
+# temporary of the warp; depth rows are sub-chunked to respect it.
+_BLOCK_BYTES = 512 * 1024 * 1024
 
 
 def _proj_grid(src_proj, ref_proj, depth_values, height, width):
@@ -62,8 +66,38 @@ def homo_warping(src_fea, src_proj, ref_proj, depth_values,
     (CasMVSNet.py:311-312); align_corners=True + behind-camera -99
     masking = TransMVSNet semantics (module.py:301-321).
     """
-    H, W = src_fea.shape[0], src_fea.shape[1]
+    H, W, C = src_fea.shape
     grid, valid_z = _proj_grid(src_proj, ref_proj, depth_values, H, W)
+
     if mask_behind:
         grid = jnp.where(valid_z[..., None], grid, -99.0)
-    return grid_sample_2d(src_fea, grid, align_corners=align_corners)
+    # Packed single-gather sampling: the warp touches D*H*W positions
+    # with C-float rows — DMA-count-bound on TPU; the dup-y layout
+    # fetches all four corners in one contiguous gather (pack cost is
+    # 2x the feature map, amortized over D depth planes). Depth rows
+    # are sub-chunked so the (P, 2, 2, C) gather block stays ~450 MB.
+    return warp_packed(pack_corners(src_fea), C, grid,
+                       align_corners=align_corners)
+
+
+def warp_packed(packed, n_channels: int, grid, *,
+                align_corners: bool = False):
+    """Sample a pre-packed (pack_corners) source at a (D, H, W, 2)
+    grid, sub-chunking depth rows so the (N, P) gather output stays
+    within _BLOCK_BYTES. Pre-pack once per source view when warping
+    many depth chunks (variance_volume) so the pack is hoisted out of
+    the chunk loop."""
+    D, H, W = grid.shape[:3]
+    C = n_channels
+    P = packed.shape[-1]
+    per = max(1, min(D, _BLOCK_BYTES // (P * 4) // max(H * W, 1)))
+    while D % per:
+        per -= 1
+    if per == D:
+        return grid_sample_2d_packed(packed, C, grid,
+                                     align_corners=align_corners)
+    g = grid.reshape(D // per, per, H, W, 2)
+    out = jax.lax.map(
+        lambda gg: grid_sample_2d_packed(packed, C, gg,
+                                         align_corners=align_corners), g)
+    return out.reshape(D, H, W, C)

@@ -58,3 +58,23 @@ def test_grid_sample_sentinel_coords_give_zero():
     coords = jnp.full((5, 3), -99.0)
     out = grid_sample_3d(vol, coords, align_corners=True)
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_grid_sample_2d_packed_matches_plain(rng_np, align_corners):
+    """Single-gather dup-y layout == the 4-gather reference, incl.
+    out-of-bounds zero padding and -99 invalid markers."""
+    from s_volsdf_tpu.ops.grid_sample import (grid_sample_2d,
+                                              grid_sample_2d_packed,
+                                              pack_corners)
+    img = jnp.asarray(rng_np.standard_normal((9, 13, 5)).astype(np.float32))
+    coords = rng_np.uniform(-1.4, 1.4, (200, 2)).astype(np.float32)
+    coords[:10] = -99.0
+    coords[10:15, 0] = 1.0   # exact right edge
+    coords[15:20, 1] = -1.0  # exact top edge
+    a = grid_sample_2d(img, jnp.asarray(coords),
+                       align_corners=align_corners)
+    b = grid_sample_2d_packed(pack_corners(img), 5, jnp.asarray(coords),
+                              align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-6, atol=1e-6)

@@ -26,8 +26,8 @@ import numpy as np
 from s_volsdf_tpu.config import Config
 from s_volsdf_tpu.data.scene_dataset import SceneData
 from s_volsdf_tpu.engine.render import render_image
-from s_volsdf_tpu.engine.train_step import (TrainState, _loss_fn,
-                                            init_train_state, make_optimizer)
+from s_volsdf_tpu.engine.train_step import (TrainState, init_train_state,
+                                            make_optimizer)
 from s_volsdf_tpu.models.loss import LossOutput
 from s_volsdf_tpu.models.network import init_volsdf_params
 from s_volsdf_tpu.models.network_bg import init_volsdf_bg_params

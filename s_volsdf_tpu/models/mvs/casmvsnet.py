@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from s_volsdf_tpu.models.mvs import blocks as B
 from s_volsdf_tpu.models.mvs.hypotheses import (depth_range_samples,
                                                 depth_range_samples_inverse)
-from s_volsdf_tpu.models.mvs.warp import (_proj_grid, homo_warping,
-                                           pack_corners, warp_packed)
+from s_volsdf_tpu.models.mvs.warp import (_proj_grid, pack_corners,
+                                           warp_packed)
 
 STAGE_SCALES = (4, 2, 1)  # CasMVSNet.py:682-692
 

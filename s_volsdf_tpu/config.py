@@ -122,9 +122,10 @@ class TrainConfig:
     render_freq: int = 500
     split_n_pixels: int = 10000    # chunk for full-image render
     grad_clip: bool = True
-    # Gather precision of the packed MVS volumes in chunked training
-    # (ops/cost_mapping.py): 'bfloat16' halves gather bytes (near/far
-    # planes stay exact via a hi/lo split); 'float32' for bit-parity.
+    # Gather precision of the packed MVS probability volumes in chunked
+    # training (ops/cost_mapping.py): 'bfloat16' halves gather bytes
+    # (the near/far planes always stay exact f32); 'float32' for
+    # bit-parity.
     mvs_pack_dtype: str = "bfloat16"
 
 

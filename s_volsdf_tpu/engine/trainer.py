@@ -48,12 +48,22 @@ def make_scan_train_fn(cfg: Config, tx, *, use_mvs: bool, n_views: int,
                              img_res=img_res)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
+    def _run(state: TrainState, rngs, scene: Dict, packed
+             ) -> Tuple[TrainState, LossOutput]:
+        step = lambda carry, rng: one_step(scene, packed, carry, rng)
+        return jax.lax.scan(step, state, rngs)
+
     def run_chunk(state: TrainState, rngs, scene: Dict,
                   mvs: Optional[MVSVolumes]
                   ) -> Tuple[TrainState, LossOutput]:
-        mvs = pack_for_chunk(cfg, mvs)   # hoisted out of the scan
-        step = lambda carry, rng: one_step(scene, mvs, carry, rng)
-        return jax.lax.scan(step, state, rngs)
+        # Pack OUTSIDE the jit: the packed volumes enter the program as
+        # parameters. Packing them inside (even hoisted out of the
+        # scan) makes them while-loop-invariant HLO temps, which the
+        # TPU scheduler tries to remat-compress at high trip counts —
+        # a path that both exploded padding (64x relayout) and crashed
+        # the worker. Callers that pre-pack (trainer.run) pay nothing;
+        # pack_for_chunk is a no-op for PackedVolumes/None.
+        return _run(state, rngs, scene, pack_for_chunk(cfg, mvs))
 
     run_chunk.one_step = one_step
     return run_chunk

@@ -96,7 +96,14 @@ def sdf_feat_grad(params, cfg: ModelConfig, x: jnp.ndarray,
                   bounding_sphere: float):
     """(sdf, features, d sdf/dx) with grad flowing through the clamp
     (network.py:105-123). The spatial gradient stays in the autodiff
-    graph so the eikonal term trains the SDF (double backprop)."""
+    graph so the eikonal term trains the SDF (double backprop).
+
+    NOTE: a jax.vjp formulation that shares the forward pass between
+    the values and the spatial gradient is mathematically identical and
+    cheaper on paper, but its doubly-differentiated graph crashes the
+    TPU runtime (worker SIGILL — same compiler bug family as the
+    grad-of-sum form documented at sdf_gradient below). Keep the
+    separate-forward form; XLA CSEs the duplicate forward anyway."""
     def sdf_only(pts):
         out = sdf_mlp_raw(params, cfg, pts)
         return jnp.sum(_clamp_sdf(out[..., :1], pts, cfg, bounding_sphere))

@@ -6,25 +6,47 @@ normalized into that view's MVS hypothesis slab, and the probability
 volume is trilinearly sampled. Same-view probability (`pi`) and
 other-view sum (`pj`) feed the GCE loss.
 
-TPU design (measured on v5e):
+TPU design (measured on v5e; several dead ends are documented because
+they are non-obvious):
   * The per-view Python loop becomes a `vmap` over a stacked (V, ...)
     volume pytree; the same-view test (traced in the reference via
     `ts[0] == id_k`) becomes a static-shape one-hot blend so the step
     stays a single compiled program for any batch view.
-  * The gathers are the hot path (latency-bound, not bandwidth-bound).
-    The volume is pre-packed as (H, W, 2, D+2): depth row-major in the
-    minor dim, the y+1 row DUPLICATED next to y, and the per-pixel
-    near/far hypothesis planes appended to every row. All four bilinear
-    corners plus near/far then arrive in ONE contiguous ~1.5-3 KB
-    gather per sample — replacing 4 volume row-gathers + 4 tiny 8-byte
-    slab gathers (the reference needs two separate grid_sample calls,
-    vsdf.py:424, 440). 18.5 -> 12.0 ms (f32) / 9.8 ms (bf16) for the
-    production 3x(512x98) sample load.
-  * Optional bf16 packing halves gather bytes; near/far keep full f32
-    accuracy via a hi/lo split (bf16(x) + bf16(x - bf16(x))) that
-    commutes with the bilinear lerp.
-  * The z-lerp is a banded one-hot reduction along D on the VPU — no
-    gather depends on z, which is what makes the near/far fusion legal.
+  * The gathers are the hot path. Fetching whole depth rows per
+    bilinear corner (the "contiguous rows" layout) is BANDWIDTH-bound:
+    it materializes V*R*S*(2*2*D) values per step — ~0.5 GB of traffic
+    for the production 3x(512x98) load, ~6.5 ms/step, even though the
+    trilinear sample only needs 8 of the 2*2*D fetched values.
+  * Instead, every (y, x, z) cell's full 2x2x2 TRILINEAR CORNER CUBE
+    is precomputed into an 8-wide row (corner-shifted, zero-padded
+    copies of the volume), and likewise the 2x2 bilinear corners of
+    the near/far planes into an 8-wide row per (y, x). A ray sample
+    then costs exactly TWO embedding-style row lookups:
+      1. nf8[(y*W + x)]        -> 8 f32  (4 corners x near/far)
+      2. vol8[((y*W + x)*D+z)] -> 8 vals (the corner cube; z comes
+                                  from step 1's slab normalization —
+                                  mirroring the reference's two
+                                  grid_sample calls, vsdf.py:424, 440)
+    ~7 MB of traffic per step instead of ~0.5 GB. The 8x volume copy
+    costs ~1 GB HBM at DTU production shapes (D=192, 288x384, bf16) —
+    cheap next to the bandwidth it saves; pack once per stage.
+  * Both lookups are `jnp.take` of rows from a 2D (M, 8) operand —
+    the embedding-lookup pattern. This is load-bearing: slice-style
+    `lax.gather` formulations (a (1,2,2,194) block of a 5D operand, a
+    (1,4,2) z-indexed slice of 3D, an (8,) slice of flat 1D) either
+    forced a pathological 64x-padded operand relayout (a 243 MB volume
+    literally compiled to 15 GB of HBM) or MISCOMPILED outright — the
+    TPU worker dies with a kernel fault once the surrounding while
+    loop's trip count reaches ~100+ and the loop scheduler switches
+    strategies. Per-element flat takes compile fine but are
+    transaction-bound (~4x slower than the row form).
+  * Out-of-volume semantics: lookup indices are clamped, corner
+    weights are computed from the UNCLAMPED floor index, and any
+    corner whose weight slot does not match its true offset gets
+    weight 0 — together with the zero padding of the shifted copies
+    this reproduces grid_sample's zeros padding exactly.
+  * Optional bf16 volume packing halves gather bytes; the near/far
+    planes stay exact f32 (they decide validity).
 """
 
 from __future__ import annotations
@@ -33,7 +55,6 @@ from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from flax import struct
 
 from s_volsdf_tpu.ops.grid_sample import _unnormalize
@@ -62,46 +83,60 @@ class MVSVolumes:
 
 @struct.dataclass
 class PackedVolumes:
-    """Gather-optimized layout (see module docstring).
+    """Corner-cube lookup layout (see module docstring).
 
-    vol: (V, Hc, Wc, 2, D + 2) — [y / y+1 dup, prob row + near, far];
-      with hi_lo (bf16) the tail is 4 wide: near_hi/near_lo/far_hi/
-      far_lo. The y+1 slot of the last row is zeros (zero padding).
+    vol8: (V, Hc*Wc*D, 8) — row (y*Wc + x)*D + z holds the volume at
+      (y+by, x+bx, z+bz) for corner slot (by*2 + bx)*2 + bz, zero-
+      padded past each edge.
+    nf8: (V, Hc*Wc, 8) f32 — row y*Wc + x holds [near, far] at
+      (y+by, x+bx) for slot (by*2 + bx)*2 + {0,1}.
     """
-    vol: jnp.ndarray
+    vol8: jnp.ndarray
+    nf8: jnp.ndarray
     intrinsics: jnp.ndarray
     c2w: jnp.ndarray
     img_res: Tuple[int, int] = struct.field(pytree_node=False)
     inverse_depth: bool = struct.field(pytree_node=False)
     n_depth: int = struct.field(pytree_node=False)
-    hi_lo: bool = struct.field(pytree_node=False)
+    vol_res: Tuple[int, int] = struct.field(pytree_node=False)  # (Hc, Wc)
+
+
+def _shift2(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """a[y+dy, x+dx] with zero padding past the edges (leading 2 dims)."""
+    if dy:
+        a = jnp.concatenate([a[dy:], jnp.zeros_like(a[:dy])], axis=0)
+    if dx:
+        a = jnp.concatenate([a[:, dx:], jnp.zeros_like(a[:, :dx])], axis=1)
+    return a
 
 
 def pack_volumes(mvs: MVSVolumes, dtype=jnp.float32) -> PackedVolumes:
-    """Build the packed gather layout. Costs ~2x the volume's HBM, so
-    hoist it out of the per-step loop (once per chunk/stage)."""
-    hi_lo = dtype == jnp.bfloat16
+    """Build the corner-cube lookup layout. Costs 8x the volume's HBM
+    (use bf16), so hoist the pack out of the per-step loop (once per
+    chunk/stage)."""
 
     def one(prob, z_slab):
-        row = jnp.transpose(prob, (1, 2, 0))           # (H, W, D)
-        nf = jnp.moveaxis(z_slab, 0, -1)               # (H, W, 2)
-        if hi_lo:
-            row = row.astype(dtype)
-            hi = nf.astype(dtype)
-            lo = (nf - hi.astype(nf.dtype)).astype(dtype)
-            tail = jnp.stack([hi[..., 0], lo[..., 0],
-                              hi[..., 1], lo[..., 1]], axis=-1)
-        else:
-            tail = nf.astype(dtype)
-        base = jnp.concatenate([row, tail], axis=-1)   # (H, W, D+t)
-        nxt = jnp.concatenate([base[1:], jnp.zeros_like(base[:1])], 0)
-        return jnp.stack([base, nxt], axis=2)          # (H, W, 2, D+t)
+        base = jnp.transpose(prob, (1, 2, 0)).astype(dtype)   # (H, W, D)
+        nf = jnp.moveaxis(z_slab, 0, -1).astype(jnp.float32)  # (H, W, 2)
+        vols, nfs = [], []
+        for by in (0, 1):
+            for bx in (0, 1):
+                v = _shift2(base, by, bx)
+                # z+1 shifted copy, zero past the last hypothesis.
+                v1 = jnp.concatenate(
+                    [v[..., 1:], jnp.zeros_like(v[..., :1])], axis=-1)
+                vols.extend([v, v1])
+                nfs.append(_shift2(nf, by, bx))
+        vol8 = jnp.stack(vols, axis=-1)          # (H, W, D, 8)
+        nf8 = jnp.concatenate(nfs, axis=-1)      # (H, W, 8)
+        return vol8.reshape(-1, 8), nf8.reshape(-1, 8)
 
-    vol = jax.vmap(one)(mvs.prob, mvs.z_slab)
+    vol8, nf8 = jax.vmap(one)(mvs.prob, mvs.z_slab)
     return PackedVolumes(
-        vol=vol, intrinsics=mvs.intrinsics, c2w=mvs.c2w,
+        vol8=vol8, nf8=nf8, intrinsics=mvs.intrinsics, c2w=mvs.c2w,
         img_res=mvs.img_res, inverse_depth=mvs.inverse_depth,
-        n_depth=int(mvs.prob.shape[1]), hi_lo=hi_lo)
+        n_depth=int(mvs.prob.shape[1]),
+        vol_res=(int(mvs.prob.shape[2]), int(mvs.prob.shape[3])))
 
 
 def _project_one_view(xyz, K, c2w, img_res):
@@ -124,12 +159,19 @@ def _project_one_view(xyz, K, c2w, img_res):
     return u, v, z
 
 
-def _sample_one_view(xyz, vol, img_res, n_depth: int, hi_lo: bool,
+def _corner_wgt(i, w):
+    """Linear-interp weight for corner slot offset `i` relative to the
+    true floor corner: 1-w at 0, w at 1, 0 for any out-of-slot shift
+    (== zeros padding for clamped-away corners)."""
+    return jnp.where(i == 0, 1.0 - w, jnp.where(i == 1, w, 0.0))
+
+
+def _sample_one_view(xyz, vol8, nf8, img_res, vol_res, n_depth: int,
                      inverse_depth: bool, K, c2w):
-    """cost_j + validity for a single view (vsdf.py:395-448) via one
-    block-gather per sample. vol: (Hc, Wc, 2, D+t)."""
-    Hv, Wv = vol.shape[0], vol.shape[1]
+    """cost_j + validity for a single view (vsdf.py:395-448) via two
+    corner-cube row lookups. vol8: (Hc*Wc*D, 8); nf8: (Hc*Wc, 8)."""
     Dv = n_depth
+    Hv, Wv = vol_res
     u, v, z = _project_one_view(xyz, K, c2w, img_res)
 
     bound_hw = 1.001
@@ -144,37 +186,23 @@ def _sample_one_view(xyz, vol, img_res, n_depth: int, hi_lo: bool,
     y = _unnormalize(vf, Hv, True)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    # Clamped block starts; the true corner offsets are recovered from
-    # the shifts sx/sy below (weight permutation, zero for corners that
-    # fall outside the fetched block == out-of-bounds zero padding).
-    xs = jnp.clip(x0, 0, Wv - 2)
-    ys = jnp.clip(y0, 0, Hv - 1)   # row Hv-1's y+1 slot is a zero row
-    sx = x0 - xs
+    xs = jnp.clip(x0, 0, Wv - 1)
+    ys = jnp.clip(y0, 0, Hv - 1)
+    sx = x0 - xs   # nonzero only when the true corner was out of range
     sy = y0 - ys
     wx = x - x0
     wy = y - y0
 
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1))
-    blk = lax.gather(vol, jnp.stack([ys, xs], -1), dnums,
-                     slice_sizes=(1, 2, 2, vol.shape[-1]),
-                     mode=lax.GatherScatterMode.CLIP)  # (N, 2x, 2y, D+t)
+    pix_idx = ys * Wv + xs
+    blk_nf = jnp.take(nf8, pix_idx, axis=0)       # (N, 8) f32
+    blk_nf = blk_nf.reshape(-1, 2, 2, 2)          # (N, by, bx, [near far])
 
-    def wgt(i, w):
-        return jnp.where(i == 0, 1.0 - w, jnp.where(i == 1, w, 0.0))
-
-    r = 0.0
-    for bx in (0, 1):
-        for by in (0, 1):
-            w = wgt(bx - sx, wx) * wgt(by - sy, wy)   # f32
-            r = r + blk[:, bx, by] * w[:, None]        # promotes to f32
-
-    if hi_lo:
-        near_j = r[:, Dv] + r[:, Dv + 1]
-        far_j = r[:, Dv + 2] + r[:, Dv + 3]
-    else:
-        near_j, far_j = r[:, Dv], r[:, Dv + 1]
+    nfv = 0.0
+    for by in (0, 1):
+        for bx in (0, 1):
+            w = _corner_wgt(by - sy, wy) * _corner_wgt(bx - sx, wx)
+            nfv = nfv + blk_nf[:, by, bx] * w[:, None]
+    near_j, far_j = nfv[:, 0], nfv[:, 1]
 
     if inverse_depth:
         far_safe = jnp.where(far_j < 1e-5, 1e-8, far_j)
@@ -186,16 +214,22 @@ def _sample_one_view(xyz, vol, img_res, n_depth: int, hi_lo: bool,
     invalid_f = ((near_j < 1e-5) | (far_j < 1e-5)
                  | (zg > bound_z) | (zg < -bound_z) | invalid.reshape(-1))
     zn = _unnormalize(jnp.where(invalid_f, -99.0, zg), Dv, True)
+    z0f = jnp.floor(zn)
+    z0 = z0f.astype(jnp.int32)
+    zs = jnp.clip(z0, 0, Dv - 1)
+    sz = z0 - zs
+    wz = zn - z0f
 
-    # z-lerp as a banded weight reduction (no gather). Out-of-range z
-    # contributes only its in-range neighbor (zeros padding); fully-
-    # outside samples get zero weight everywhere.
-    iota = jnp.arange(Dv, dtype=zn.dtype)[None, :]
-    z0f = jnp.floor(zn)[:, None]
-    wz = zn[:, None] - z0f
-    band = (jnp.where(iota == z0f, 1.0 - wz, 0.0)
-            + jnp.where(iota == z0f + 1.0, wz, 0.0))
-    cost = jnp.sum(r[:, :Dv] * band, axis=1)
+    blk = jnp.take(vol8, pix_idx * Dv + zs, axis=0)   # (N, 8)
+    blk = blk.reshape(-1, 2, 2, 2)                    # (N, by, bx, bz)
+
+    cost = 0.0
+    for by in (0, 1):
+        for bx in (0, 1):
+            wxy = _corner_wgt(by - sy, wy) * _corner_wgt(bx - sx, wx)
+            for bz in (0, 1):
+                w = wxy * _corner_wgt(bz - sz, wz)   # f32
+                cost = cost + blk[:, by, bx, bz] * w  # promotes to f32
     return cost.reshape(shape), ~invalid_f.reshape(shape)
 
 
@@ -218,11 +252,11 @@ def cost_mapping(z_vals, xyz, view_onehot,
       vsdf.py:443-452.
     """
     packed = mvs if isinstance(mvs, PackedVolumes) else pack_volumes(mvs)
-    sample_fn = lambda vol, K, c2w: _sample_one_view(
-        xyz, vol, packed.img_res, packed.n_depth, packed.hi_lo,
+    sample_fn = lambda vol8, nf8, K, c2w: _sample_one_view(
+        xyz, vol8, nf8, packed.img_res, packed.vol_res, packed.n_depth,
         packed.inverse_depth, K, c2w)
     costs, valids = jax.vmap(sample_fn)(
-        packed.vol, packed.intrinsics, packed.c2w)  # (V, R, S)
+        packed.vol8, packed.nf8, packed.intrinsics, packed.c2w)  # (V, R, S)
 
     w_same = view_onehot[:, None, None]
     pi = jnp.sum(w_same * costs, axis=0)

@@ -1,7 +1,7 @@
 """PackedVolumes gather layout (ops/cost_mapping.py): the dup-y block
-gather must be numerically identical to the on-the-fly f32 path, and
-the bf16 packing must stay within bf16 lerp error of f32 with EXACT
-near/far (hi/lo split)."""
+gathers must be numerically identical to the on-the-fly f32 path, and
+the bf16 volume packing must stay within bf16 lerp error of f32 with
+EXACT near/far (the near/far planes stay f32 in a separate array)."""
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,8 @@ def test_prepacked_f32_matches_unpacked(setup):
     mvs, z, xyz, onehot = setup
     pj0, pi0, v0 = cost_mapping(z, xyz, onehot, mvs)
     packed = pack_volumes(mvs, dtype=jnp.float32)
-    assert isinstance(packed, PackedVolumes) and not packed.hi_lo
+    assert isinstance(packed, PackedVolumes)
+    assert packed.vol8.dtype == jnp.float32
     pj1, pi1, v1 = cost_mapping(z, xyz, onehot, packed)
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_allclose(np.asarray(pj0), np.asarray(pj1),
@@ -53,21 +54,24 @@ def test_packed_bf16_close_and_nearfar_exact(setup):
     mvs, z, xyz, onehot = setup
     pj0, pi0, v0 = cost_mapping(z, xyz, onehot, mvs)
     packed = pack_volumes(mvs, dtype=jnp.bfloat16)
-    assert packed.hi_lo
+    assert packed.vol8.dtype == jnp.bfloat16
+    assert packed.nf8.dtype == jnp.float32
     pj1, pi1, v1 = cost_mapping(z, xyz, onehot, packed)
-    # Validity depends only on geometry + near/far (exact via hi/lo).
+    # Validity depends only on geometry + near/far (exact: f32 planes).
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     # Costs within bf16 lerp error of the f32 path.
     np.testing.assert_allclose(np.asarray(pj0), np.asarray(pj1),
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(pi0), np.asarray(pi1),
                                atol=2e-3)
-    # hi/lo reconstruction of near/far is (near-)exact.
-    Dp = packed.n_depth
-    vol = np.asarray(packed.vol, dtype=np.float32)
-    near_rec = vol[..., 0, Dp] + vol[..., 0, Dp + 1]
-    np.testing.assert_allclose(near_rec,
-                               np.asarray(mvs.z_slab[:, 0]), rtol=1e-5)
+    # The packed near/far planes reproduce the slabs exactly (nf8 row
+    # y*Wc + x, slot (by*2+bx)*2 + {near,far}; slots 0/1 = corner 0,0).
+    Hc, Wc = packed.vol_res
+    nf = np.asarray(packed.nf8).reshape(-1, Hc, Wc, 8)
+    np.testing.assert_array_equal(nf[..., 0],
+                                  np.asarray(mvs.z_slab[:, 0]))
+    np.testing.assert_array_equal(nf[..., 1],
+                                  np.asarray(mvs.z_slab[:, 1]))
 
 
 def test_packed_train_chunk_converges():

@@ -127,6 +127,13 @@ class TrainConfig:
     # (the near/far planes always stay exact f32); 'float32' for
     # bit-parity.
     mvs_pack_dtype: str = "bfloat16"
+    # MLP matmul precision DURING TRAINING ONLY (f32 accumulation on
+    # the MXU; weight-norm normalization and everything outside the
+    # dots stay f32). Eval/render always use model.compute_dtype
+    # (f32 by default) — mixed precision in the reference's sense.
+    # Measured on v5e: 14.7x -> 16.9x baseline with equal final
+    # render PSNR and depth MAE on the production-shape sphere run.
+    train_compute_dtype: str = "bfloat16"
 
 
 @dataclass(unsafe_hash=True)
@@ -328,6 +335,8 @@ def validate_config(cfg: Config) -> Config:
         "img_res must be multiples of 32 for the MVS pyramids"
     assert cfg.train.mvs_pack_dtype in ("float32", "bfloat16"), \
         cfg.train.mvs_pack_dtype
+    assert cfg.train.train_compute_dtype in ("float32", "bfloat16"), \
+        cfg.train.train_compute_dtype
     return cfg
 
 

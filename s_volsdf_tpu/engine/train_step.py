@@ -9,6 +9,7 @@ one XLA program. MVS volumes ride along as device-resident arrays.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -52,14 +53,19 @@ def init_train_state(cfg: Config, params, tx) -> TrainState:
 
 def _loss_fn(params, cfg: Config, batch: Dict, rng,
              mvs: Optional[MVSVolumes], iter_step):
+    # Training-only mixed precision: MLP dots run in
+    # train_compute_dtype (f32 accumulate); eval/render paths keep
+    # model.compute_dtype (f32 default).
+    mcfg = dataclasses.replace(
+        cfg.model, compute_dtype=cfg.train.train_compute_dtype)
     if cfg.model.with_background:
         from s_volsdf_tpu.models.network_bg import render_rays_bg
         out = render_rays_bg(
-            params, cfg.model, batch["uv"], batch["pose"],
+            params, mcfg, batch["uv"], batch["pose"],
             batch["intrinsics"], rng, training=True, fast=1)
     else:
         out = render_rays(
-            params, cfg.model, batch["uv"], batch["pose"],
+            params, mcfg, batch["uv"], batch["pose"],
             batch["intrinsics"], rng, training=True, fast=1)
     outputs = {
         "rgb_values": out.rgb_values,

@@ -36,6 +36,10 @@ def tiny_cfg(**extra):
         "model.sampler.N_samples_eval=16",
         "model.sampler.N_samples_extra=4",
         "loss.mvs_weight=0", "loss.sparse_weight=0", "loss.anneal_rgb=0",
+        # These tests assert sharded == solo trajectories; pin the
+        # training dots to f32 so rounding is identical across the
+        # differently-fused sharded/solo programs.
+        "train.train_compute_dtype=float32",
     ] + [f"{k}={v}" for k, v in extra.items()]
     return load_config("dtu", overrides=overrides)
 

@@ -161,6 +161,11 @@ class MVSConfig:
     grad_method: str = "detach"
     x2_mvsres: bool = True         # upscale images x2 for MVS
     fea_base_channels: int = 8
+    # Conv kernel precision of the frozen cascade (blocks.py
+    # cast_conv_weights): 'bfloat16' runs every conv on the MXU's
+    # native bf16 path with f32 accumulation (BN/bias/softmax stay
+    # f32); 'float32' for bit-parity with the torch reference.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(unsafe_hash=True)
@@ -337,6 +342,8 @@ def validate_config(cfg: Config) -> Config:
         cfg.train.mvs_pack_dtype
     assert cfg.train.train_compute_dtype in ("float32", "bfloat16"), \
         cfg.train.train_compute_dtype
+    assert cfg.mvs.compute_dtype in ("float32", "bfloat16"), \
+        cfg.mvs.compute_dtype
     return cfg
 
 

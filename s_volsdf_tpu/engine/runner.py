@@ -98,6 +98,16 @@ class MVSEngine:
                 (pack_costreg_params(self.params["cost_reg"][s], pack0),
                  pack0))
 
+        # bf16 cascade inference: one-time conv-kernel cast after the
+        # packed weights are built (packing transforms run in f32).
+        # The conv compute dtype follows the weight dtype (blocks.py).
+        if cfg.mvs.compute_dtype == "bfloat16":
+            from s_volsdf_tpu.models.mvs.blocks import cast_conv_weights
+            self.params = cast_conv_weights(self.params)
+            self.packed_cr = [
+                None if pc is None else (cast_conv_weights(pc[0]), pc[1])
+                for pc in self.packed_cr]
+
     def features(self, imgs: jnp.ndarray) -> List[Dict]:
         return self._features(self.params, imgs)
 

@@ -86,15 +86,39 @@ def batch_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return x * inv + (p["bias"] - p["mean"] * inv)
 
 
+def _conv_operands(p: Params, x: jnp.ndarray):
+    """The conv compute dtype FOLLOWS THE WEIGHT dtype: bf16 kernels
+    run the conv on the MXU's native bf16 path with f32 accumulation
+    (preferred_element_type), so BN/bias/activations stay f32. The MVS
+    nets are frozen, so enabling bf16 inference is a one-time weight
+    cast (`cast_conv_weights`) — no flags to thread through ~100 call
+    sites, and the dtype is part of the jit cache key via the avals."""
+    w = p["w"]
+    if w.dtype == jnp.bfloat16:
+        return x.astype(jnp.bfloat16), w, {"preferred_element_type":
+                                           jnp.float32}
+    return x, w, {}
+
+
+def cast_conv_weights(params, dtype=jnp.bfloat16):
+    """Cast every conv kernel (ndim >= 4: HWIO / DHWIO, incl. packed
+    2D-lowered 3D kernels) in a param pytree to `dtype`; BN stats,
+    biases, and linear/attention weights stay f32."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if hasattr(a, "ndim") and a.ndim >= 4
+        else a, params)
+
+
 def conv2d(p: Params, x, stride=1, padding=0, *, relu=True,
            dilation=1) -> jnp.ndarray:
     """x: (N, H, W, C)."""
     s = (stride, stride) if isinstance(stride, int) else stride
     pad = ((padding, padding),) * 2 if isinstance(padding, int) else padding
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    xq, w, kw = _conv_operands(p, x)
     y = lax.conv_general_dilated(
-        x, p["w"], window_strides=s, padding=pad, rhs_dilation=d,
-        dimension_numbers=_DN2D)
+        xq, w, window_strides=s, padding=pad, rhs_dilation=d,
+        dimension_numbers=_DN2D, **kw)
     if "b" in p:
         y = y + p["b"]
     if "bn" in p:
@@ -111,9 +135,10 @@ def deconv2d(p: Params, x, stride=2, padding=1, output_padding=1, *,
     lhs_dilation = stride. Weights are stored pre-flipped in HWIO."""
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
+    xq, w, kw = _conv_operands(p, x)
     y = lax.conv_general_dilated(
-        x, p["w"], window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
-        lhs_dilation=(stride, stride), dimension_numbers=_DN2D)
+        xq, w, window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
+        lhs_dilation=(stride, stride), dimension_numbers=_DN2D, **kw)
     if "b" in p:
         y = y + p["b"]
     if "bn" in p:
@@ -127,8 +152,9 @@ def conv3d(p: Params, x, stride=1, padding=1, *, relu=True) -> jnp.ndarray:
     """x: (N, D, H, W, C)."""
     s = (stride,) * 3 if isinstance(stride, int) else stride
     pad = ((padding, padding),) * 3 if isinstance(padding, int) else padding
+    xq, w, kw = _conv_operands(p, x)
     y = lax.conv_general_dilated(
-        x, p["w"], window_strides=s, padding=pad, dimension_numbers=_DN3D)
+        xq, w, window_strides=s, padding=pad, dimension_numbers=_DN3D, **kw)
     if "b" in p:
         y = y + p["b"]
     if "bn" in p:
@@ -142,10 +168,11 @@ def deconv3d(p: Params, x, stride=2, padding=1, output_padding=1, *,
              relu=True, k=3) -> jnp.ndarray:
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
+    xq, w, kw = _conv_operands(p, x)
     y = lax.conv_general_dilated(
-        x, p["w"], window_strides=(1, 1, 1),
+        xq, w, window_strides=(1, 1, 1),
         padding=((lo, hi),) * 3, lhs_dilation=(stride,) * 3,
-        dimension_numbers=_DN3D)
+        dimension_numbers=_DN3D, **kw)
     if "b" in p:
         y = y + p["b"]
     if "bn" in p:

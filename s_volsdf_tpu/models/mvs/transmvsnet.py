@@ -53,10 +53,13 @@ def dcn_apply(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """DCN.forward (dcn.py:66-80). x: (H, W, C)."""
     k = p["k"]
     K = k * k
+    from s_volsdf_tpu.models.mvs.blocks import _conv_operands
+    xo, wo, kwo = _conv_operands(p["offset_conv"], x[None])
     om = jax.lax.conv_general_dilated(
-        x[None], p["offset_conv"]["w"], (1, 1),
+        xo, wo, (1, 1),
         ((k // 2, k // 2), (k // 2, k // 2)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0] + p["offset_conv"]["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        **kwo)[0] + p["offset_conv"]["b"]
     o1, o2, mask = jnp.split(om, 3, axis=-1)
     # torchvision reads offsets interleaved (dy, dx) per tap from
     # cat(o1, o2): reproduce that exact layout.

@@ -126,6 +126,16 @@ def _packed_weights_t2(w: np.ndarray, pack_in: int) -> np.ndarray:
 # Packed conv applications
 # --------------------------------------------------------------------------
 
+def _packed_operands(p: Dict, x: jnp.ndarray):
+    """bf16 conv path when the packed kernel is bf16 (f32 accumulate);
+    mirrors blocks._conv_operands — compute dtype follows weight dtype."""
+    w = p["w_packed"]
+    if w.dtype == jnp.bfloat16:
+        return x.astype(jnp.bfloat16), w, {"preferred_element_type":
+                                           jnp.float32}
+    return x, w, {}
+
+
 def _bn_packed(bn: Dict, pack: int, y: jnp.ndarray) -> jnp.ndarray:
     from s_volsdf_tpu.models.mvs.blocks import batch_norm
     tiled = {k: jnp.tile(v, pack) for k, v in bn.items()}
@@ -137,9 +147,10 @@ def packed_conv3d_s1(p: Dict, xp: jnp.ndarray, pack: int, cin: int, *,
     """Stride-1 3x3x3 conv on a packed volume. p holds packed weights
     under 'w_packed' (built by pack_costreg_params)."""
     xh = _with_halo(xp, pack, cin)
+    xh, w, kw = _packed_operands(p, xh)
     y = lax.conv_general_dilated(
-        xh, p["w_packed"], (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xh, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw)
     if "b" in p:
         y = y + jnp.tile(p["b"], pack)
     if "bn" in p:
@@ -155,9 +166,10 @@ def packed_conv3d_s2(p: Dict, xp: jnp.ndarray, pack_in: int, cin: int, *,
     spatial stride via the 2D conv. Output pack = pack_in // 2."""
     pack_out = pack_in // 2
     xh = _with_halo(xp, pack_in, cin)
+    xh, w, kw = _packed_operands(p, xh)
     y = lax.conv_general_dilated(
-        xh, p["w_packed"], (2, 2), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xh, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw)
     if "b" in p:
         y = y + jnp.tile(p["b"], pack_out)
     if "bn" in p:
@@ -174,9 +186,10 @@ def packed_deconv3d(p: Dict, xp: jnp.ndarray, pack_in: int, cin: int, *,
     pack = 2 * pack_in."""
     pack_out = 2 * pack_in
     xh = _with_halo(xp, pack_in, cin)
+    xh, w, kw = _packed_operands(p, xh)
     y = lax.conv_general_dilated(
-        xh, p["w_packed"], (1, 1), ((1, 2), (1, 2)),
-        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xh, w, (1, 1), ((1, 2), (1, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw)
     if "b" in p:
         y = y + jnp.tile(p["b"], pack_out)
     if "bn" in p:

@@ -49,3 +49,36 @@ def test_packed_costreg_matches_plain(rng_np):
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4)
+
+
+def test_bf16_conv_weights_close_to_f32():
+    """Conv compute dtype follows the weight dtype (blocks.py
+    cast_conv_weights): bf16 kernels with f32 accumulation must track
+    the f32 UNet within bf16 rounding, for both the plain and the
+    depth-packed cost-regularization paths."""
+    from s_volsdf_tpu.models.mvs.blocks import cast_conv_weights
+    from s_volsdf_tpu.models.mvs.casmvsnet import (cost_reg_net,
+                                                   init_cost_reg_net)
+    from s_volsdf_tpu.ops.packed_conv3d import (cost_reg_net_packed,
+                                                pack_costreg_params,
+                                                pack_depth)
+    rng_np = np.random.default_rng(7)
+    D, H, W, C = 32, 16, 24, 32
+    params = init_cost_reg_net(jax.random.PRNGKey(1), C, 8)
+    x = jnp.asarray(rng_np.standard_normal((D, H, W, C)).astype(np.float32))
+
+    ref = np.asarray(cost_reg_net(params, x[None])[0])
+    got = np.asarray(cost_reg_net(cast_conv_weights(params), x[None])[0])
+    # The cast touched only the kernels.
+    bf = cast_conv_weights(params)
+    assert bf["conv0"]["w"].dtype == jnp.bfloat16
+    assert bf["conv0"]["bn"]["scale"].dtype == jnp.float32
+    scale = np.abs(ref).mean()
+    assert np.abs(got - ref).mean() < 2e-2 * max(scale, 1.0)
+
+    pack0 = 16
+    pp = cast_conv_weights(pack_costreg_params(params, pack0))
+    assert pp["conv0"]["w_packed"].dtype == jnp.bfloat16
+    got_p = np.asarray(cost_reg_net_packed(pp, pack_depth(x, pack0),
+                                           pack0, cin=C))
+    assert np.abs(got_p - ref).mean() < 2e-2 * max(scale, 1.0)

@@ -86,17 +86,24 @@ def make_multiscene_train_fn(cfg: Config, tx, *, use_mvs: bool,
                               img_res=img_res)
     one_step = base.one_step
 
-    def scene_scan(state, rngs, scene, mvs):
-        mvs = pack_for_chunk(cfg, mvs)   # hoisted out of the scan
-        step = lambda carry, rng: one_step(scene, mvs, carry, rng)
+    def scene_scan(state, rngs, scene, packed):
+        step = lambda carry, rng: one_step(scene, packed, carry, rng)
         return jax.lax.scan(step, state, rngs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
+    def _run(states: TrainState, rngs, scenes: Dict, packed
+             ) -> Tuple[TrainState, LossOutput]:
+        # rngs: (S, T, 2); states/scenes/packed: leading S axis.
+        return jax.vmap(scene_scan)(states, rngs, scenes, packed)
+
     def run_chunk(states: TrainState, rngs, scenes: Dict,
                   mvs: Optional[MVSVolumes]
                   ) -> Tuple[TrainState, LossOutput]:
-        # rngs: (S, T, 2); states/scenes/mvs: leading S axis.
-        return jax.vmap(scene_scan)(states, rngs, scenes, mvs)
+        # Per-scene pack, OUTSIDE the jit (parameters, not while-loop-
+        # invariant temps; see make_scan_train_fn).
+        if isinstance(mvs, MVSVolumes):
+            mvs = jax.vmap(lambda m: pack_for_chunk(cfg, m))(mvs)
+        return _run(states, rngs, scenes, mvs)
 
     return run_chunk
 
@@ -248,7 +255,9 @@ class VolTrainer:
             "poses": jnp.asarray(self.scene.poses[ti]),
             "intrinsics": jnp.asarray(self.scene.intrinsics[ti]),
         }
-        mvs_dev = self.mvs if use_mvs else None
+        # Pack once per run; run_chunk passes PackedVolumes through.
+        from s_volsdf_tpu.engine.train_step import pack_for_chunk
+        mvs_dev = pack_for_chunk(self.cfg, self.mvs) if use_mvs else None
 
         start = int(self.state.iter_step)
         done = 0

@@ -62,9 +62,8 @@ def make_sharded_scan_train_fn(cfg: Config, tx, mesh: Mesh, *,
                              img_res=img_res, n_rays=n_rays // n_chips,
                              shard_axis=axis)
 
-    def per_chip_chunk(state, rngs, scene, mvs):
-        mvs = pack_for_chunk(cfg, mvs)   # hoisted out of the scan
-        step = lambda carry, rng: one_step(scene, mvs, carry, rng)
+    def per_chip_chunk(state, rngs, scene, packed):
+        step = lambda carry, rng: one_step(scene, packed, carry, rng)
         return jax.lax.scan(step, state, rngs)
 
     sharded = shard_map(
@@ -74,10 +73,16 @@ def make_sharded_scan_train_fn(cfg: Config, tx, mesh: Mesh, *,
         check_vma=False)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
+    def _run(state: TrainState, rngs, scene: Dict, packed
+             ) -> Tuple[TrainState, LossOutput]:
+        return sharded(state, rngs, scene, packed)
+
     def run_chunk(state: TrainState, rngs, scene: Dict,
                   mvs: Optional[MVSVolumes]
                   ) -> Tuple[TrainState, LossOutput]:
-        return sharded(state, rngs, scene, mvs)
+        # Pack OUTSIDE the jit so the volumes enter as parameters, not
+        # loop-invariant temps (see engine.trainer.make_scan_train_fn).
+        return _run(state, rngs, scene, pack_for_chunk(cfg, mvs))
 
     run_chunk.one_step = one_step
     return run_chunk
@@ -143,13 +148,12 @@ def make_sharded_multiscene_train_fn(cfg: Config, tx, mesh: Mesh, *,
     one_step = make_one_step(cfg, tx, use_mvs=use_mvs, n_views=n_views,
                              img_res=img_res)
 
-    def scene_scan(state, rngs, scene, mvs):
-        mvs = pack_for_chunk(cfg, mvs)   # hoisted out of the scan
-        step = lambda carry, rng: one_step(scene, mvs, carry, rng)
+    def scene_scan(state, rngs, scene, packed):
+        step = lambda carry, rng: one_step(scene, packed, carry, rng)
         return jax.lax.scan(step, state, rngs)
 
-    def per_chip(states, rngs, scenes, mvs):
-        return jax.vmap(scene_scan)(states, rngs, scenes, mvs)
+    def per_chip(states, rngs, scenes, packed):
+        return jax.vmap(scene_scan)(states, rngs, scenes, packed)
 
     spec = P(axis)
     sharded = shard_map(
@@ -159,10 +163,17 @@ def make_sharded_multiscene_train_fn(cfg: Config, tx, mesh: Mesh, *,
         check_vma=False)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
+    def _run(states: TrainState, rngs, scenes: Dict, packed
+             ) -> Tuple[TrainState, LossOutput]:
+        # rngs: (S, T, 2); states/scenes/packed: leading S axis.
+        return sharded(states, rngs, scenes, packed)
+
     def run_chunk(states: TrainState, rngs, scenes: Dict,
                   mvs: Optional[MVSVolumes]
                   ) -> Tuple[TrainState, LossOutput]:
-        # rngs: (S, T, 2); states/scenes/mvs: leading S axis.
-        return sharded(states, rngs, scenes, mvs)
+        # Per-scene pack, OUTSIDE the jit (parameters, not loop temps).
+        if isinstance(mvs, MVSVolumes):
+            mvs = jax.vmap(lambda m: pack_for_chunk(cfg, m))(mvs)
+        return _run(states, rngs, scenes, mvs)
 
     return run_chunk

@@ -14,6 +14,15 @@ separate groups.
 
 Per-scene trajectories are bit-comparable to serial runs: each scene
 consumes its own trainer's RNG stream with the same chunking.
+
+PERFORMANCE NOTE (measured on one v5e at full production shapes): the
+single-chip vmap path is about scheduling, not speed — a production
+512-ray step already keeps the chip busy, so S=2 lockstep runs ~25%
+SLOWER than 2 serial runs (vmap blocks some fusion). The throughput
+win is the MULTI-CHIP axis: scenes sharded one-per-chip over a mesh
+(`make_sharded_multiscene_train_fn`) scale linearly with zero
+collectives. On one chip, prefer serial scenes (the default
+`save_depth`) unless you need synchronized checkpoints/logging.
 """
 
 from __future__ import annotations
@@ -91,6 +100,11 @@ def run_joint(trainers: List[VolTrainer], opt_stepN: int,
     states = _stack([t.state for t in trainers])
     scenes = _stack([_scene_dev(t) for t in trainers])
     mvs = _stack([t.mvs for t in trainers]) if use_mvs else None
+    if use_mvs:
+        # Pack once for the whole optimization (run_chunk passes
+        # PackedVolumes through untouched).
+        from s_volsdf_tpu.engine.train_step import pack_for_chunk
+        mvs = jax.vmap(lambda m: pack_for_chunk(cfg, m))(mvs)
 
     start = int(np.asarray(states.iter_step)[0])
     done = 0

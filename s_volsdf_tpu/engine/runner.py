@@ -231,7 +231,16 @@ def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
         out = {k: v for k, v in out.items()}
         out[f"stage{stage_idx + 1}_confidence"] = \
             out["photometric_confidence"]
-        outs[i] = jax.tree.map(np.asarray, out)
+        # Fetch only the small 2D maps to host (they end up in PFMs /
+        # cv2 anyway, and the fetch doubles as the device sync for the
+        # timing log). The big 3D tensors — prob_volume, hypothesis
+        # depth_values — STAY ON DEVICE: the trainer consumes them
+        # there (get_mvs_input), and round-tripping ~85 MB/view
+        # through the host link per stage is pure waste.
+        for k in ("depth", "photometric_confidence",
+                  f"stage{stage_idx + 1}_confidence"):
+            out[k] = np.asarray(out[k])
+        outs[i] = out
         new_extras[i] = extra
     logger.info(f"{sc['name']} stage {stage_idx}: cost volumes in "
                 f"{time.time() - t0:.1f}s")

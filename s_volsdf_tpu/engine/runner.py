@@ -108,8 +108,16 @@ class MVSEngine:
                 None if pc is None else (cast_conv_weights(pc[0]), pc[1])
                 for pc in self.packed_cr]
 
+        # jit caches: one compiled program per (stage, shape) key.
+        # Without these every cascade op dispatches eagerly — at
+        # production shapes that is ~6 s/sample of dispatch round
+        # trips around ~0.8 s of actual device compute.
+        self._features_jit = jax.jit(self._features)
+        self._stage_jit: Dict = {}
+        self._aux_jit: Dict = {}
+
     def features(self, imgs: jnp.ndarray) -> List[Dict]:
-        return self._features(self.params, imgs)
+        return self._features_jit(self.params, imgs)
 
     def scene_feature_cache(self, imgs_all: jnp.ndarray) -> Dict:
         """Per-view features for a scene's train views (V, H, W, 3),
@@ -121,10 +129,13 @@ class MVSEngine:
         if self.name == "transmvsnet":
             from s_volsdf_tpu.models.mvs.transmvsnet import \
                 trans_feature_net
+            if "backbone" not in self._aux_jit:
+                self._aux_jit["backbone"] = jax.jit(trans_feature_net)
             return {"backbone": [
-                trans_feature_net(self.params["feature"], imgs_all[v])
+                self._aux_jit["backbone"](self.params["feature"],
+                                          imgs_all[v])
                 for v in range(imgs_all.shape[0])]}
-        return {"feats": self._features(self.params, imgs_all)}
+        return {"feats": self._features_jit(self.params, imgs_all)}
 
     def sample_features(self, cache: Dict, perm: List[int]) -> List[Dict]:
         """Assemble one sample's ordered feature list (ref first) from
@@ -132,36 +143,60 @@ class MVSEngine:
         if self.name == "transmvsnet":
             from s_volsdf_tpu.models.mvs.transmvsnet import \
                 fmt_with_pathway
-            return fmt_with_pathway(
+            if "fmt" not in self._aux_jit:
+                self._aux_jit["fmt"] = jax.jit(fmt_with_pathway)
+            return self._aux_jit["fmt"](
                 self.params["fmt"],
                 [cache["backbone"][p] for p in perm])
         return [cache["feats"][p] for p in perm]
+
+    def _build_stage_fn(self, stage_idx: int, inverse_depth: bool,
+                        img_hw: Tuple[int, int]):
+        """One jitted program per (stage, flags, resolution). The
+        packed cost-reg weights and static config ride in the closure;
+        params/features/projections are traced arguments."""
+        cfg = self.cfg
+        pcr = self.packed_cr[stage_idx]
+        name = self.name
+        raw = self._stage
+        if name == "casmvsnet":
+            def fn(params, features, proj, depth_values, prev_depth,
+                   extra):
+                del extra
+                out = raw(params, stage_idx, features, proj,
+                          depth_values, prev_depth, img_hw,
+                          ndepths=cfg.mvs.ndepths,
+                          depth_inter_r=cfg.mvs.depth_inter_r,
+                          inverse_depth=inverse_depth, packed_cr=pcr)
+                return out, None
+        elif name == "ucsnet":
+            def fn(params, features, proj, depth_values, prev_depth,
+                   extra):
+                out = raw(params, stage_idx, features, proj,
+                          depth_values, prev_depth, extra, img_hw,
+                          stage_configs=cfg.mvs.ndepths,
+                          inverse_depth=inverse_depth, packed_cr=pcr)
+                return out, out["variance"]
+        else:
+            def fn(params, features, proj, depth_values, prev_depth,
+                   extra):
+                return raw(params, stage_idx, features, proj,
+                           depth_values, prev_depth, extra, img_hw,
+                           ndepths=cfg.mvs.ndepths,
+                           depth_inter_r=cfg.mvs.depth_inter_r,
+                           inverse_depth=inverse_depth, packed_cr=pcr)
+        return jax.jit(fn)
 
     def stage(self, stage_idx: int, features, proj, depth_values,
               prev_depth, extra, img_hw, inverse_depth: bool):
         """Returns (outputs, extra). `extra` threads UCSNet variance /
         TransMVSNet view weights between stages (runner.py:201-203)."""
-        cfg = self.cfg
-        pcr = self.packed_cr[stage_idx]
-        if self.name == "casmvsnet":
-            out = self._stage(self.params, stage_idx, features, proj,
-                              depth_values, prev_depth, img_hw,
-                              ndepths=cfg.mvs.ndepths,
-                              depth_inter_r=cfg.mvs.depth_inter_r,
-                              inverse_depth=inverse_depth, packed_cr=pcr)
-            return out, None
-        if self.name == "ucsnet":
-            out = self._stage(self.params, stage_idx, features, proj,
-                              depth_values, prev_depth, extra, img_hw,
-                              stage_configs=cfg.mvs.ndepths,
-                              inverse_depth=inverse_depth, packed_cr=pcr)
-            return out, out["variance"]
-        out, vw = self._stage(self.params, stage_idx, features, proj,
-                              depth_values, prev_depth, extra, img_hw,
-                              ndepths=cfg.mvs.ndepths,
-                              depth_inter_r=cfg.mvs.depth_inter_r,
-                              inverse_depth=inverse_depth, packed_cr=pcr)
-        return out, vw
+        key = (stage_idx, bool(inverse_depth), tuple(img_hw))
+        if key not in self._stage_jit:
+            self._stage_jit[key] = self._build_stage_fn(
+                stage_idx, bool(inverse_depth), tuple(img_hw))
+        return self._stage_jit[key](self.params, features, proj,
+                                    depth_values, prev_depth, extra)
 
 
 # --------------------------------------------------------------------------
@@ -270,10 +305,16 @@ def accumulate_stage(sc: Dict, outs: List[Dict], new_extras: List,
 
 def save_scene_depth(cfg: Config, scene_name: str, *,
                      mvs_weights: Optional[str] = None,
-                     exps_root: str = ".") -> Dict:
+                     exps_root: str = ".",
+                     engine: Optional[MVSEngine] = None) -> Dict:
     """Run the interleaved 3-stage MVS/VolSDF pipeline for one scene
-    and save depth/confidence/cams/images under cfg.outdir."""
-    engine = MVSEngine(cfg, weights_path=mvs_weights)
+    and save depth/confidence/cams/images under cfg.outdir.
+
+    Pass a shared `engine` when looping scenes: the cascade's jitted
+    stage programs live on it, and re-tracing them costs ~10 s/stage
+    even when the remote compile cache hits."""
+    if engine is None:
+        engine = MVSEngine(cfg, weights_path=mvs_weights)
     sc = setup_scene(cfg, scene_name, exps_root=exps_root)
     trainer = sc["trainer"]
     outdir = sc["outdir"]
@@ -398,10 +439,13 @@ def save_depth(cfg: Config, testlist: List[str], *,
     from s_volsdf_tpu.parallel.multihost import partition_scenes
     if not all_hosts:
         testlist = partition_scenes(testlist)
+    # One MVSEngine for the whole list: per-scene overrides never touch
+    # cfg.mvs, so every scene reuses the same jitted stage programs.
+    engine = MVSEngine(cfg, weights_path=mvs_weights) if testlist else None
     for scene in testlist:
         scene_cfg = per_scene_overrides(cfg, scene)
         logger.info(
             f"{scene}: sparse_weight={scene_cfg.loss.sparse_weight} "
             f"inverse_depth={scene_cfg.inverse_depth}")
         save_scene_depth(scene_cfg, scene, mvs_weights=mvs_weights,
-                         exps_root=exps_root)
+                         exps_root=exps_root, engine=engine)

@@ -45,13 +45,15 @@ def init_dcn(key, cin: int, cout: int, k: int = 3) -> Dict:
             minval=-(1.0 / (cin * K) ** 0.5),
             maxval=(1.0 / (cin * K) ** 0.5)),
         "b": jnp.zeros((cout,)),
-        "k": k,
     }
 
 
 def dcn_apply(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """DCN.forward (dcn.py:66-80). x: (H, W, C)."""
-    k = p["k"]
+    """DCN.forward (dcn.py:66-80). x: (H, W, C). The kernel size is
+    recovered from the offset-conv weight shape (a static int even
+    when the params ride through jit; an explicit "k" leaf would get
+    traced)."""
+    k = int(p["offset_conv"]["w"].shape[0])
     K = k * k
     from s_volsdf_tpu.models.mvs.blocks import _conv_operands
     xo, wo, kwo = _conv_operands(p["offset_conv"], x[None])

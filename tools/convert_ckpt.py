@@ -189,7 +189,6 @@ def _dcn(sd: Dict, prefix: str) -> Dict:
         "b": (np.asarray(sd[f"{prefix}.bias"])
               if f"{prefix}.bias" in sd else np.zeros(w.shape[0],
                                                       np.float32)),
-        "k": k,
     }
     return out
 

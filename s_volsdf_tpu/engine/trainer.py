@@ -207,9 +207,23 @@ class VolTrainer:
 
     # ---------------- optimization loop (vsdf.py:322-367) -----------
 
+    # Compiled chunk loops shared across trainers/scenes: per-scene
+    # VolTrainers with identical configs (the common case — per-scan
+    # overrides only touch loss weights, and scans sharing defaults
+    # share a key) reuse one traced+compiled program instead of paying
+    # a re-trace + remote-compile round trip per scene. optax
+    # transforms are stateless, so a loop built against one trainer's
+    # `tx` is exact for another trainer with the same config.
+    _LOOP_CACHE: Dict[tuple, object] = {}
+
     def _get_loop(self, use_mvs: bool):
         if use_mvs not in self._loops:
-            self._loops[use_mvs] = self._build_loop(use_mvs)
+            key = (self.cfg, use_mvs, len(self.trains_i),
+                   self.scene.img_res, len(jax.devices()))
+            cache = VolTrainer._LOOP_CACHE
+            if key not in cache:
+                cache[key] = self._build_loop(use_mvs)
+            self._loops[use_mvs] = cache[key]
         return self._loops[use_mvs]
 
     def _build_loop(self, use_mvs: bool):

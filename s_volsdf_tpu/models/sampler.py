@@ -7,10 +7,19 @@ XLA static-shape constraints:
     a global early exit (ray_sampler.py:83-136). Here the iteration
     count is STATIC (`n_iters = fast if fast >= 0 else max_total_iters`,
     matching the train/eval budgets at vsdf.py:205-206), with the final
-    iteration always taking the "final sample set" branch. Rays that
-    converge early simply keep refining — their error-bound pdf is
-    already tiny so extra samples stay near the surface; distributional
-    behavior matches the reference while every shape stays static.
+    iteration always taking the "final sample set" branch — but the
+    reference's global early exit IS reproduced: once every ray's
+    bisected beta reaches beta0 (the reference's `not_converge`
+    condition, ray_sampler.py:134), remaining refine iterations run a
+    scalar `lax.cond` branch that merely appends duplicates of the
+    far sample instead of evaluating the SDF MLP. Duplicated samples
+    span zero-length intervals, so every downstream quantity (d*,
+    error bound, weights, inverse-CDF) is exactly what the reference
+    computes on its smaller early-exited sample set, while shapes stay
+    static. On a trained model most rays converge after 1-2
+    iterations, so eval-mode renders skip most of their sampler MLP
+    cost — the same place the reference's adaptive loop saves its
+    time.
   * torch.sort of concatenated (z, sdf) pairs becomes argsort + gather
     so SDF values are never recomputed for old samples
     (ray_sampler.py:90-93).
@@ -144,6 +153,7 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
     beta = jnp.sqrt(bound)
 
     samples = None
+    converged = jnp.asarray(False)
     for it in range(n_iters):
         d_star = _d_star(z_vals, sdf)
         dists = z_vals[:, 1:] - z_vals[:, :-1]
@@ -166,24 +176,47 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
 
         last = it == n_iters - 1
         if not last:
-            # Refine: sample proportional to the error bound
-            # (ray_sampler.py:139-151).
-            error_per_section = (jnp.exp(-d_star / beta[:, None])
-                                 * (dists ** 2) / (4 * beta[:, None] ** 2))
-            error_integral = jnp.cumsum(error_per_section, axis=-1)
-            bound_opacity = (jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0) \
-                * transmittance[:, :-1]
-            pdf = bound_opacity + cfg.add_tiny
-            cdf = pdf_to_cdf(pdf)
-            u = jnp.broadcast_to(
-                jnp.linspace(0.0, 1.0, cfg.N_samples_eval), (R, cfg.N_samples_eval))
-            new_samples = sample_pdf_from_cdf(z_vals, cdf, u)
-            new_sdf = eval_sdf(new_samples)
-            z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
-            s_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-            order = jnp.argsort(z_cat, axis=-1)
-            z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
-            sdf = jnp.take_along_axis(s_cat, order, axis=-1)
+            # The reference's global early exit: once every ray's
+            # bisected beta is at beta0 (`not_converge = beta.max() >
+            # beta0`, ray_sampler.py:137-139), no further samples are
+            # added. The scalar cond skips the refine MLP eval and
+            # appends zero-length duplicates of the far sample, which
+            # leave every downstream integral/pdf unchanged.
+            converged = converged | (jnp.max(beta) <= beta0)
+
+            def refine(z_vals, sdf, d_star=d_star, beta=beta,
+                       dists=dists, transmittance=transmittance):
+                # Sample proportional to the error bound
+                # (ray_sampler.py:139-151).
+                error_per_section = (jnp.exp(-d_star / beta[:, None])
+                                     * (dists ** 2) / (4 * beta[:, None] ** 2))
+                error_integral = jnp.cumsum(error_per_section, axis=-1)
+                bound_opacity = \
+                    (jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0) \
+                    * transmittance[:, :-1]
+                pdf = bound_opacity + cfg.add_tiny
+                cdf = pdf_to_cdf(pdf)
+                u = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
+                    (R, cfg.N_samples_eval))
+                new_samples = sample_pdf_from_cdf(z_vals, cdf, u)
+                new_sdf = eval_sdf(new_samples)
+                z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
+                s_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+                order = jnp.argsort(z_cat, axis=-1)
+                return (jnp.take_along_axis(z_cat, order, axis=-1),
+                        jnp.take_along_axis(s_cat, order, axis=-1))
+
+            def dup(z_vals, sdf):
+                K = cfg.N_samples_eval
+                return (jnp.concatenate(
+                            [z_vals, jnp.repeat(z_vals[:, -1:], K, axis=1)],
+                            axis=-1),
+                        jnp.concatenate(
+                            [sdf, jnp.repeat(sdf[:, -1:], K, axis=1)],
+                            axis=-1))
+
+            z_vals, sdf = jax.lax.cond(converged, dup, refine, z_vals, sdf)
         else:
             # Final sample set (ray_sampler.py:154-163).
             pdf = weights[..., :-1] + 1e-5

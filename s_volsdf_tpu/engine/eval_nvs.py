@@ -75,7 +75,7 @@ def render_eval_views(cfg: Config, scene: SceneData, params,
     for vid in test_idx:
         maps = render_image(
             params, cfg.model, scene.poses[vid], scene.intrinsics[vid],
-            scene.img_res, chunk=4096, fast=-1,
+            scene.img_res, chunk=16384, fast=-1,
             with_background=cfg.model.with_background,
             near_pose=scene.near_pose(vid))
         rgb = np.clip(maps["rgb"], 0, 1)

@@ -70,7 +70,12 @@ def render_eval_views(cfg: Config, scene: SceneData, params,
 
     test_idx = scene.eval_ids()
     if include_train:
-        test_idx = test_idx + scene.trains_ids()[:3]
+        # Eval loads the scene with num_views=-1 (all views, like the
+        # reference eval_vsdf.py:66); the train views are still the
+        # 3-view protocol split.
+        from s_volsdf_tpu.data.splits import get_trains_ids
+        test_idx = test_idx + get_trains_ids(
+            scene.data_dir, f"scan{scene.scan_id}", 3)[:3]
 
     for vid in test_idx:
         maps = render_image(

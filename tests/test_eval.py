@@ -201,3 +201,44 @@ def test_downsample_radius_chunked_matches_oneshot():
     from scipy.spatial import cKDTree
     d, _ = cKDTree(a).query(a, k=2)
     assert (d[:, 1] > 0.4).all()
+
+
+def test_render_eval_views_all_views_scene(tmp_path):
+    """The eval path loads the scene with num_views=-1 (reference
+    eval_vsdf.py:66); rendering with include_train must resolve the
+    3-view protocol train ids, not consult the dataset's num_views
+    (regression: get_trains_ids raised NotImplementedError)."""
+    import os
+    import jax
+    from s_volsdf_tpu.config import load_config
+    from s_volsdf_tpu.data.fixtures import make_dtu_fixture
+    from s_volsdf_tpu.data.scene_dataset import load_scene
+    from s_volsdf_tpu.engine.eval_nvs import (eval_rendered_views,
+                                              render_eval_views)
+    from s_volsdf_tpu.models.network import init_volsdf_params
+
+    root = str(tmp_path / "data")
+    make_dtu_fixture(root, scan_id=106, img_res=(32, 48))
+    cfg = load_config("dtu", overrides=[
+        "dataset.img_res=[32,48]", "max_h=32", "max_w=48",
+        f"data_dir_root={root}", f"dataset.data_dir_root={root}",
+        "model.implicit.dims=[16,16]", "model.implicit.skip_in=[]",
+        "model.rendering.dims=[16]", "model.feature_vector_size=16",
+        "model.sampler.N_samples=6", "model.sampler.N_samples_eval=8",
+        "model.sampler.N_samples_extra=2",
+    ])
+    scene = load_scene("DTU", (32, 48), 106, -1, root)
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    images_dir = str(tmp_path / "renders")
+    os.makedirs(images_dir, exist_ok=True)
+    vids = render_eval_views(cfg, scene, params, images_dir,
+                             include_train=True)
+    # Eval views + the 3 protocol train views, each with artifacts.
+    assert set(vids) >= {25, 22, 28}
+    for vid in vids:
+        assert os.path.exists(os.path.join(images_dir,
+                                           f"eval_{vid:03d}.png"))
+        assert os.path.exists(os.path.join(images_dir, "depth_est",
+                                           f"{vid:08d}.pfm"))
+    res = eval_rendered_views(cfg, scene, images_dir)
+    assert res["n_views"] > 0 and res["psnr_mean"] is not None

@@ -214,11 +214,15 @@ class VolTrainer:
     # a re-trace + remote-compile round trip per scene. optax
     # transforms are stateless, so a loop built against one trainer's
     # `tx` is exact for another trainer with the same config.
+    # Keyed on repr(cfg) — an immutable VALUE snapshot of the full
+    # config tree — not the Config instance: Configs are mutated in
+    # place (per_scene_overrides, test fixtures), and hashing a mutable
+    # key would silently corrupt lookups after mutation.
     _LOOP_CACHE: Dict[tuple, object] = {}
 
     def _get_loop(self, use_mvs: bool):
         if use_mvs not in self._loops:
-            key = (self.cfg, use_mvs, len(self.trains_i),
+            key = (repr(self.cfg), use_mvs, len(self.trains_i),
                    self.scene.img_res, len(jax.devices()))
             cache = VolTrainer._LOOP_CACHE
             if key not in cache:

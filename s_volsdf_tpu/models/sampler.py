@@ -13,10 +13,15 @@ XLA static-shape constraints:
     condition, ray_sampler.py:134), remaining refine iterations run a
     scalar `lax.cond` branch that merely appends duplicates of the
     far sample instead of evaluating the SDF MLP. Duplicated samples
-    span zero-length intervals, so every downstream quantity (d*,
-    error bound, weights, inverse-CDF) is exactly what the reference
-    computes on its smaller early-exited sample set, while shapes stay
-    static. On a trained model most rays converge after 1-2
+    span zero-length intervals, so the downstream integrals (d*,
+    error bound, weights) match what the reference computes on its
+    smaller early-exited sample set, up to two small drifts: the final
+    pdf's 1e-5 floor gives each duplicated zero-width bin a sliver of
+    mass (final samples can land on the duplicated far z), and the
+    N_samples_extra linspace/permutation indexes the enlarged z_vals,
+    so the extra-sample selection differs from the reference's smaller
+    set. Shapes stay static. On a trained model most rays converge
+    after 1-2
     iterations, so eval-mode renders skip most of their sampler MLP
     cost — the same place the reference's adaptive loop saves its
     time.

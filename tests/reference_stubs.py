@@ -95,6 +95,23 @@ def install_stubs():
         except ImportError:
             sys.modules["imageio"] = types.ModuleType("imageio")
 
+    if "hydra" not in sys.modules:
+        # simple_ibr.py runs a @hydra.main-wrapped get_config() at
+        # import (simple_ibr.py:8-14); make it a no-op so the module's
+        # pure functions (Laplacian_Blending, get_dir_loc, ...) are
+        # importable for parity tests. Tests set simple_ibr.args.
+        hy = types.ModuleType("hydra")
+
+        def _main(*a, **k):
+            def deco(fn):
+                def wrapped(*fa, **fk):
+                    return None
+                return wrapped
+            return deco
+
+        hy.main = _main
+        sys.modules["hydra"] = hy
+
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
 

@@ -83,13 +83,16 @@ def test_multiscene_groups_by_overrides(roots):
     from s_volsdf_tpu.config import per_scene_overrides
     root, data_root = roots
     cfg = _cfg(data_root, "exps_x")
-    # DTU per-scan sparse_weight table differs between some scans;
-    # verify the grouping key distinguishes configs when they differ.
-    a = per_scene_overrides(cfg, "scan106")
-    b = per_scene_overrides(cfg, "scan114")
-    if repr(a) == repr(b):
-        pytest.skip("scan106/114 share overrides in this table")
+    # DTU per-scan sparse_weight table: scan37 -> 0.1, scan24 -> 0.0
+    # (reference runner.py:46-67) — genuinely different overrides, so
+    # the grouping key MUST distinguish them; scan106/114 share the
+    # defaults and MUST collapse to one group.
+    a = per_scene_overrides(cfg, "scan37")
+    b = per_scene_overrides(cfg, "scan24")
     assert repr(a) != repr(b)
+    same1 = per_scene_overrides(cfg, "scan106")
+    same2 = per_scene_overrides(cfg, "scan114")
+    assert repr(same1) == repr(same2)
 
 
 def test_run_joint_scene_sharded(roots, tmp_path):

@@ -144,6 +144,217 @@ def test_stage0_prob_volume_agreement(samples):
     np.testing.assert_allclose(j_prob, t_prob, atol=5e-3)
 
 
+def _build_torch_mvs(model_name, ndepths):
+    """Reference-model construction exactly as runner.py:128-154."""
+    if model_name == "casmvsnet":
+        from test_parity_casmvsnet import _import_reference_casmvsnet
+        CascadeMVSNet = _import_reference_casmvsnet()
+        return CascadeMVSNet(refine=False, ndepths=list(ndepths),
+                             depth_interals_ratio=[1, 0.5, 0.5],
+                             share_cr=False, cr_base_chs=[8, 8, 8],
+                             grad_method="detach")
+    if model_name == "ucsnet":
+        from models.ucsnet import UCSNet
+        return UCSNet(stage_configs=list(ndepths), lamb=1.5)
+    from models.TransMVSNet import TransMVSNet
+    return TransMVSNet(refine=False, ndepths=list(ndepths),
+                       depth_interals_ratio=[1, 0.5, 0.5],
+                       share_cr=False, cr_base_chs=[8, 8, 8],
+                       grad_method="detach")
+
+
+def _torch_features(model, model_name, sample, n_views):
+    """Per-view feature pyramids as the orchestrator computes them
+    (reference runner.py:184-197)."""
+    with torch.no_grad():
+        if model_name == "casmvsnet":
+            return [model.feature(sample["imgs"][:, v])
+                    for v in range(n_views)]
+        if model_name == "ucsnet":
+            return [model.feature_extraction(sample["imgs"][:, v])
+                    for v in range(n_views)]
+        feats = [model.feature(sample["imgs"][:, v])
+                 for v in range(n_views)]
+        return model.FMT_with_pathway(feats)
+
+
+def _make_engine(fixture_root, model_name, ndepths, params):
+    """Production MVSEngine wired with converted torch weights via the
+    checkpoint path (the same loading branch real runs use)."""
+    from s_volsdf_tpu.config import load_config
+    from s_volsdf_tpu.engine.runner import MVSEngine
+    from s_volsdf_tpu.utils import checkpoint as ckpt
+
+    cfg = load_config("dtu")
+    cfg.mvs.model_name = model_name
+    cfg.mvs.ndepths = tuple(ndepths)
+    cfg.mvs.numdepth = ndepths[0]
+    cfg.mvs.cr_base_chs = (8, 8, 8)
+    cfg.mvs.compute_dtype = "float32"   # bit-parity with torch f32
+    cfg.mvs.x2_mvsres = False
+    wdir = os.path.join(fixture_root, f"w_{model_name}")
+    ckpt.save_state(wdir, params)
+    return MVSEngine(cfg, weights_path=wdir), cfg
+
+
+@pytest.mark.parametrize("model_name",
+                         ["casmvsnet", "ucsnet", "transmvsnet"])
+def test_cascade_pipeline_parity_3stage(samples, fixture_root, model_name):
+    """Full 3-stage cascade through the PRODUCTION MVSEngine on the
+    real fixture data path, with converted reference weights — per
+    stage: probability volumes agree, and the between-stage `extra`
+    thread (UCSNet variance ucsnet.py:471-476; TransMVSNet view
+    weights TransMVSNet.py:160-232) matches the torch reference.
+
+    Threading: each side consumes its OWN previous-stage outputs,
+    exactly as its production pipeline does — except TransMVSNet's
+    prev depth, where both sides get the torch WTA depth (random-
+    weight prob volumes are flat, so WTA argmax ties flip arbitrarily;
+    see test_parity_ucs_trans.py)."""
+    import jax.numpy as jnp
+    from test_parity_ucs_trans import _randomize
+    from tools.convert_ckpt import convert
+
+    ref_ds, ours_ds = samples
+    ndepths = [NDEPTHS, 8, 8]
+    model = _build_torch_mvs(model_name, ndepths)
+    model.eval()
+    _randomize(model)
+    params = convert(model_name, model.state_dict())
+    engine, cfg = _make_engine(fixture_root, model_name, ndepths, params)
+
+    r, o = ref_ds[0], ours_ds[0]
+    sample = {
+        "imgs": torch.from_numpy(np.asarray(r["imgs"]))[None],
+        "proj_matrices": {k: torch.from_numpy(np.asarray(v))[None]
+                          for k, v in r["proj_matrices"].items()},
+        "depth_values": torch.from_numpy(
+            np.asarray(r["depth_values"]))[None],
+    }
+    n_views = sample["imgs"].shape[1]
+    t_feats = _torch_features(model, model_name, sample, n_views)
+
+    cache = engine.scene_feature_cache(jnp.asarray(o.imgs))
+    perm = list(range(n_views))   # sample 0's view order == cache order
+    j_feats = engine.sample_features(cache, perm)
+
+    drange = float(np.ptp(np.asarray(r["depth_values"])))
+    t_outputs, t_extra = None, None
+    j_out, j_extra = None, None
+    j_prev_t = None   # torch prev-stage depth (Trans WTA tie dodge)
+    for stage_idx in range(3):
+        int_r = {"casmvsnet": 1, "ucsnet": None,
+                 "transmvsnet": [1, 0.5, 0.5][stage_idx]}[model_name]
+        kwargs = (dict(prevent_oom=False, inverse_depth=False)
+                  if model_name == "casmvsnet" else {})
+        with torch.no_grad():
+            t_outputs, t_extra = model(
+                stage_idx, sample, features=t_feats, extra=t_extra,
+                outputs=t_outputs, int_r=int_r, **kwargs)
+
+        if stage_idx == 0:
+            prev_depth = None
+        elif model_name == "transmvsnet":
+            prev_depth = j_prev_t
+        else:
+            prev_depth = j_out["depth"]
+        j_out, j_extra = engine.stage(
+            stage_idx, j_feats,
+            jnp.asarray(o.proj_matrices[f"stage{stage_idx + 1}"]),
+            jnp.asarray(o.depth_values), prev_depth, j_extra,
+            (o.imgs.shape[1], o.imgs.shape[2]), inverse_depth=False)
+        j_prev_t = jnp.asarray(t_outputs["depth"][0].numpy())
+
+        t_prob = t_outputs["prob_volume"][0].numpy()
+        j_prob = np.asarray(j_out["prob_volume"])
+        assert j_prob.shape == t_prob.shape, f"stage{stage_idx}"
+        agree = (j_prob.argmax(0) == t_prob.argmax(0)).mean()
+        # Trans WTA ties on flat random-weight volumes make exact
+        # argmax meaningless there; probability values carry parity.
+        if model_name != "transmvsnet":
+            assert agree >= 0.98, \
+                f"{model_name} stage{stage_idx} argmax {agree:.3f}"
+        np.testing.assert_allclose(
+            j_prob, t_prob, atol=6e-3,
+            err_msg=f"{model_name} prob stage{stage_idx}")
+        if model_name != "transmvsnet":
+            t_depth = t_outputs["depth"][0].numpy()
+            # Sub-bin agreement: regression depth within 0.75x this
+            # stage's hypothesis spacing. Random-weight prob volumes
+            # are nearly flat, so soft-argmax amplifies f32 conv noise
+            # (and the own-threaded prev-depth drift) far above value-
+            # level tolerance — but a disagreement below one bin can't
+            # move any fusion/confidence decision.
+            interval = [1.0, 0.5, 0.5][stage_idx] * drange / NDEPTHS
+            assert np.abs(np.asarray(j_out["depth"]) - t_depth).max() \
+                < 0.75 * interval, f"{model_name} depth stage{stage_idx}"
+
+        # The extra thread between stages.
+        if model_name == "ucsnet":
+            np.testing.assert_allclose(
+                np.asarray(j_extra), t_extra[0].numpy(), atol=2e-2,
+                err_msg=f"ucs variance stage{stage_idx}")
+        elif model_name == "transmvsnet":
+            np.testing.assert_allclose(
+                np.asarray(j_extra), t_extra[0].numpy(), atol=1e-4,
+                err_msg=f"trans view weights stage{stage_idx}")
+        else:
+            assert j_extra is None and t_extra is None
+
+
+def test_pipeline_gate_catches_transposed_weight(samples, fixture_root):
+    """The gate must fail loudly on a layout bug: transpose one conv
+    kernel in the converted weights and verify the stage-0 probability
+    agreement collapses below the gate's threshold."""
+    import jax
+    import jax.numpy as jnp
+    from test_parity_ucs_trans import _randomize
+    from tools.convert_ckpt import convert
+
+    ref_ds, ours_ds = samples
+    ndepths = [NDEPTHS, 8, 8]
+    model = _build_torch_mvs("casmvsnet", ndepths)
+    model.eval()
+    _randomize(model)
+    params = convert("casmvsnet", model.state_dict())
+
+    # Transpose two spatial dims of the stage-0 cost-reg output conv
+    # (DHWIO, 3x3x3): shape-preserving, so only the numbers can catch
+    # it — and LATE in the net, where the random-weight cascade (conv
+    # weights ~U(-0.25,0.25) are contractive: a perturbation 7 layers
+    # from the output is attenuated to ~1e-7) can't wash it out.
+    w = jnp.asarray(params["cost_reg"][0]["prob"]["w"])
+    assert w.ndim == 5 and w.shape[0] == w.shape[1] > 1
+    params["cost_reg"][0]["prob"]["w"] = jnp.swapaxes(w, 0, 1)
+
+    engine, cfg = _make_engine(fixture_root, "casmvsnet", ndepths, params)
+    r, o = ref_ds[0], ours_ds[0]
+    sample = {
+        "imgs": torch.from_numpy(np.asarray(r["imgs"]))[None],
+        "proj_matrices": {k: torch.from_numpy(np.asarray(v))[None]
+                          for k, v in r["proj_matrices"].items()},
+        "depth_values": torch.from_numpy(
+            np.asarray(r["depth_values"]))[None],
+    }
+    t_feats = _torch_features(model, "casmvsnet", sample,
+                              sample["imgs"].shape[1])
+    with torch.no_grad():
+        t_out, _ = model(0, sample, features=t_feats, extra=None,
+                         outputs=None, int_r=1, prevent_oom=False,
+                         inverse_depth=False)
+    cache = engine.scene_feature_cache(jnp.asarray(o.imgs))
+    j_feats = engine.sample_features(cache, list(range(o.imgs.shape[0])))
+    j_out, _ = engine.stage(
+        0, j_feats, jnp.asarray(o.proj_matrices["stage1"]),
+        jnp.asarray(o.depth_values), None, None,
+        (o.imgs.shape[1], o.imgs.shape[2]), inverse_depth=False)
+    t_prob = t_out["prob_volume"][0].numpy()
+    j_prob = np.asarray(j_out["prob_volume"])
+    mismatch = np.abs(j_prob - t_prob).max()
+    assert mismatch > 6e-3, \
+        f"transposed weight went undetected (max diff {mismatch})"
+
+
 @pytest.fixture(scope="module")
 def trained_pair(fixture_root):
     """Train torch-reference and ours from the same init on the same

@@ -99,18 +99,28 @@ def _geo_consistency_native(depth_ref, intr_ref, extr_ref, depth_src,
 
 
 def _bilinear_sample(img: np.ndarray, x: np.ndarray, y: np.ndarray):
-    """Sample img (H, W) at float coords; border-clamped (cv2.remap
-    default behavior in the reference is border-constant, but samples
-    used are in-bounds by construction)."""
+    """Sample img (H, W) at float coords with cv2.remap's default
+    BORDER_CONSTANT(0) semantics (the reference samples src depth with
+    cv2.remap and no borderMode override, helpers/utils.py:97): each of
+    the 4 corner contributions is zeroed when that corner falls outside
+    the image, so fully-out-of-bounds samples read 0 and the border
+    band gets partial sums — parity-checked A/B against cv2.remap in
+    test_parity_fusion.py."""
     H, W = img.shape[:2]
-    x0 = np.clip(np.floor(x).astype(np.int64), 0, W - 1)
-    y0 = np.clip(np.floor(y).astype(np.int64), 0, H - 1)
-    x1 = np.clip(x0 + 1, 0, W - 1)
-    y1 = np.clip(y0 + 1, 0, H - 1)
-    wx = np.clip(x - x0, 0, 1)
-    wy = np.clip(y - y0, 0, 1)
-    v = (img[y0, x0] * (1 - wx) * (1 - wy) + img[y0, x1] * wx * (1 - wy)
-         + img[y1, x0] * (1 - wx) * wy + img[y1, x1] * wx * wy)
+    xf = np.floor(x)
+    yf = np.floor(y)
+    x0 = xf.astype(np.int64)
+    y0 = yf.astype(np.int64)
+    wx = x - xf
+    wy = y - yf
+    v = np.zeros(np.broadcast(x, y).shape, dtype=np.float64)
+    for dy, dx, w in ((0, 0, (1 - wx) * (1 - wy)), (0, 1, wx * (1 - wy)),
+                      (1, 0, (1 - wx) * wy), (1, 1, wx * wy)):
+        xi = x0 + dx
+        yi = y0 + dy
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        v += np.where(ok, img[np.clip(yi, 0, H - 1),
+                              np.clip(xi, 0, W - 1)] * w, 0.0)
     return v
 
 

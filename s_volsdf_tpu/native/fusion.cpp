@@ -28,18 +28,23 @@ inline double clampd(double v, double lo, double hi) {
 
 inline double bilinear(const double* img, int H, int W, double x,
                        double y) {
-    // Matches _bilinear_sample: corners clamped BEFORE weights.
+    // Matches _bilinear_sample == cv2.remap BORDER_CONSTANT(0)
+    // (reference helpers/utils.py:97): out-of-image corner
+    // contributions read 0, so the border band gets partial sums and
+    // fully-out samples are 0.
     double fx = std::floor(x), fy = std::floor(y);
-    int64_t x0 = (int64_t)clampd(fx, 0.0, (double)(W - 1));
-    int64_t y0 = (int64_t)clampd(fy, 0.0, (double)(H - 1));
-    int64_t x1 = x0 + 1 < W ? x0 + 1 : W - 1;
-    int64_t y1 = y0 + 1 < H ? y0 + 1 : H - 1;
-    double wx = clampd(x - (double)x0, 0.0, 1.0);
-    double wy = clampd(y - (double)y0, 0.0, 1.0);
-    return img[y0 * W + x0] * (1.0 - wx) * (1.0 - wy)
-         + img[y0 * W + x1] * wx * (1.0 - wy)
-         + img[y1 * W + x0] * (1.0 - wx) * wy
-         + img[y1 * W + x1] * wx * wy;
+    int64_t x0 = (int64_t)fx, y0 = (int64_t)fy;
+    double wx = x - fx, wy = y - fy;
+    double v = 0.0;
+    const double w[4] = {(1.0 - wx) * (1.0 - wy), wx * (1.0 - wy),
+                         (1.0 - wx) * wy, wx * wy};
+    const int64_t cx[4] = {x0, x0 + 1, x0, x0 + 1};
+    const int64_t cy[4] = {y0, y0, y0 + 1, y0 + 1};
+    for (int c = 0; c < 4; ++c) {
+        if (cx[c] >= 0 && cx[c] < W && cy[c] >= 0 && cy[c] < H)
+            v += img[cy[c] * W + cx[c]] * w[c];
+    }
+    return v;
 }
 
 inline void mat3v(const double* M, double a, double b, double c,

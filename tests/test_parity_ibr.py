@@ -1,0 +1,115 @@
+"""A/B parity: our IBR vs the LITERAL reference simple_ibr.py
+machinery (/root/reference/simple_ibr.py:93-235, imported via
+reference_stubs with hydra stubbed out) — VERDICT r2 item 5.
+
+Both implementations read the SAME scan folder / render folder layout
+(cams/*.txt, images/*.png, eval_*.png, depth_est/*.pfm), so the A/B
+drives both end-to-end on a synthetic sphere scan and compares the
+blended novel-view outputs pixel for pixel.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reference_stubs import install_stubs  # noqa: E402
+
+install_stubs()
+
+from s_volsdf_tpu.data.io import save_pfm, write_cam  # noqa: E402
+from s_volsdf_tpu.data.synthetic import make_sphere_scene  # noqa: E402
+
+
+def _import_reference_ibr():
+    import simple_ibr as ref_ibr
+    # The hydra bootstrap is stubbed to a no-op (reference_stubs), so
+    # the module-level `args` global never got set; provide the two
+    # fields image_based_render reads (simple_ibr.py:150-151).
+    vol = types.SimpleNamespace(
+        dataset=types.SimpleNamespace(data_dir="DTU"))
+    ref_ibr.args = types.SimpleNamespace(vol=vol, num_view=3)
+    return ref_ibr
+
+
+def test_laplacian_blending_matches_reference(rng_np):
+    """laplacian_blending vs Laplacian_Blending (simple_ibr.py:93-147)
+    on random images + normalized random masks."""
+    ref_ibr = _import_reference_ibr()
+    from s_volsdf_tpu.engine.ibr import laplacian_blending
+
+    imgs = rng_np.random((3, 64, 96, 3))
+    masks = rng_np.random((3, 64, 96, 3)) + 1e-3
+    masks = masks / masks.sum(axis=0, keepdims=True)
+    ours = laplacian_blending(imgs, masks, num_levels=4)
+    theirs = ref_ibr.Laplacian_Blending(imgs, masks, num_levels=4)
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def _write_scan(tmp_path, scene, train_ids, eval_id):
+    import imageio.v2 as imageio
+    scan_folder = str(tmp_path / "scan106")
+    out_folder = str(tmp_path / "out")
+    os.makedirs(out_folder, exist_ok=True)
+
+    def write_view(vid, idx, is_eval):
+        K = scene.intrinsics[idx]
+        extr = np.linalg.inv(scene.poses[idx])
+        cam = np.zeros((2, 4, 4), np.float32)
+        cam[0] = extr
+        cam[1, :3, :3] = K[:3, :3]
+        write_cam(os.path.join(scan_folder, f"cams/{vid:08d}_cam.txt"), cam)
+        depth = scene.depths[idx].copy()
+        far = depth[np.isfinite(depth)].max() * 2
+        depth[~np.isfinite(depth)] = far
+        save_pfm(os.path.join(out_folder, f"depth_est/{vid:08d}.pfm"),
+                 depth.astype(np.float32))
+        img = (np.clip(scene.images[idx], 0, 1) * 255).astype(np.uint8)
+        if is_eval:
+            imageio.imwrite(
+                os.path.join(out_folder, f"eval_{vid:03d}.png"), img)
+        else:
+            os.makedirs(os.path.join(scan_folder, "images"), exist_ok=True)
+            imageio.imwrite(
+                os.path.join(scan_folder, f"images/{vid:08d}.png"), img)
+
+    for i, vid in enumerate(train_ids):
+        write_view(vid, i, is_eval=False)
+    write_view(eval_id, 3, is_eval=True)
+    return scan_folder, out_folder
+
+
+def test_image_based_render_matches_reference(tmp_path, monkeypatch):
+    """End-to-end A/B on one synthetic eval view: geometric masks,
+    cosine view weights, softmax, erosion, and the 4-level pyramid
+    blend all agree — outputs match to uint8 rounding (>=45 dB)."""
+    import imageio.v2 as imageio
+    ref_ibr = _import_reference_ibr()
+    import s_volsdf_tpu.engine.ibr as ibr_mod
+
+    scene = make_sphere_scene(n_views=4, img_res=(64, 96), cam_radius=2.5)
+    train_ids, eval_id = [25, 22, 28], 1
+    scan_folder, out_folder = _write_scan(tmp_path, scene, train_ids,
+                                          eval_id)
+
+    monkeypatch.setattr(ibr_mod, "get_eval_ids", lambda *a, **k: [eval_id])
+    ours_path = ibr_mod.image_based_render(scan_folder, out_folder,
+                                           "DTU", 3)[0]
+    ours = np.asarray(imageio.imread(ours_path), np.float32) / 255.0
+    os.rename(ours_path, ours_path + ".ours.png")
+
+    monkeypatch.setattr(ref_ibr, "get_eval_ids", lambda *a, **k: [eval_id])
+    ref_ibr.image_based_render(scan_folder, out_folder)
+    ref_path = os.path.join(out_folder, f"eval_blend_{eval_id:03d}.png")
+    theirs = np.asarray(imageio.imread(ref_path), np.float32) / 255.0
+
+    mse = float(np.mean((ours - theirs) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr >= 45, f"IBR A/B disagreement: {psnr:.1f} dB"
+    # and almost every pixel is within 1/255 exactly
+    frac = (np.abs(ours - theirs) <= (1.5 / 255)).mean()
+    assert frac >= 0.995, f"pixels within 1 LSB: {frac:.4f}"

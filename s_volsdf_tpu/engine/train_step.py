@@ -89,13 +89,15 @@ def _loss_fn(params, cfg: Config, batch: Dict, rng,
 
 
 def guarded_update(tx, state: TrainState, grads,
-                   loss_out: LossOutput) -> TrainState:
+                   loss_out: LossOutput
+                   ) -> Tuple[TrainState, LossOutput]:
     """NaN/Inf gradient guard + optimizer apply (vsdf.py:454-464).
 
     Skips the update entirely when any gradient leaf or the loss is
     non-finite. The loss check matters: JAX's |x - NaN| gradient is
     finite-but-garbage (sign(NaN) -> ±1), so grads alone can miss data
-    NaNs.
+    NaNs. Returns the new state and loss_out with `grad_finite` set
+    (1.0 accepted / 0.0 skipped) so callers can count guard trips.
     """
     leaves = jax.tree_util.tree_leaves(grads)
     finite = jnp.all(jnp.asarray(
@@ -112,7 +114,8 @@ def guarded_update(tx, state: TrainState, grads,
         lambda n, o: jnp.where(finite, n, o), new_params, state.params)
     new_opt_state = jax.tree.map(
         lambda n, o: jnp.where(finite, n, o), new_opt_state, state.opt_state)
-    return TrainState(new_params, new_opt_state, state.iter_step + 1)
+    return (TrainState(new_params, new_opt_state, state.iter_step + 1),
+            loss_out._replace(grad_finite=finite.astype(jnp.float32)))
 
 
 def sample_train_batch(scene: Dict, rng, *, n_views: int,
@@ -174,7 +177,7 @@ def make_one_step(cfg: Config, tx, *, use_mvs: bool, n_views: int,
             grads = jax.lax.pmean(grads, shard_axis)
             loss_out = jax.tree.map(
                 lambda x: jax.lax.pmean(x, shard_axis), loss_out)
-        return guarded_update(tx, state, grads, loss_out), loss_out
+        return guarded_update(tx, state, grads, loss_out)
 
     return one_step
 
@@ -192,4 +195,4 @@ def train_step(state: TrainState, batch: Dict, rng, mvs: Optional[MVSVolumes],
     mvs_in = mvs if use_mvs else None
     grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
         state.params, cfg, batch, rng, mvs_in, state.iter_step)
-    return guarded_update(tx, state, grads, loss_out), loss_out
+    return guarded_update(tx, state, grads, loss_out)

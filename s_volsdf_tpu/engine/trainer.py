@@ -160,7 +160,9 @@ class VolTrainer:
         self.scale_factor = scene.scale_factor
         self.mvs: Optional[MVSVolumes] = None
         self._loops: Dict[bool, tuple] = {}
-        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+        self.rng = getattr(self, "_resume_rng", None)
+        if self.rng is None:
+            self.rng = jax.random.PRNGKey(cfg.seed + 1)
 
         # Observability (reference: TB scalars every 50 steps,
         # vsdf.py:224-230; wall-clock phases, runner.py:182,212).
@@ -171,14 +173,21 @@ class VolTrainer:
     # ---------------- checkpointing (vsdf.py:128-194) ----------------
 
     def save_checkpoint(self, label: str = "latest"):
+        # The chunk-RNG key rides in the json meta so a killed run
+        # resumes with a bit-identical pixel/sampler stream (the
+        # reference does not checkpoint its RNG; strictly better).
+        rng_state = [int(x) for x in np.asarray(self.rng).ravel()] \
+            if hasattr(self, "rng") else None
         ckpt.save_state(os.path.join(self.checkpoints_path, label),
-                        self.state, epoch=self.epoch)
+                        self.state, epoch=self.epoch, rng=rng_state)
 
     def load_checkpoint(self, label: str = "latest"):
         path = os.path.join(self.checkpoints_path, label)
         if os.path.exists(path):
             self.state, meta = ckpt.load_state(path, self.state)
             self.epoch = meta.get("epoch", 0)
+            if meta.get("rng"):
+                self._resume_rng = jnp.asarray(meta["rng"], jnp.uint32)
             logger.info(f"resumed from {path} at step "
                         f"{int(self.state.iter_step)}")
 
@@ -279,6 +288,7 @@ class VolTrainer:
 
         start = int(self.state.iter_step)
         done = 0
+        guard_trips = 0   # NaN/Inf-guard skipped updates this run
         logger.info(f"train volsdf at {self.checkpoints_path}: "
                     f"start={start} steps={opt_stepN} use_mvs={use_mvs}")
         next_log = log_every
@@ -312,6 +322,10 @@ class VolTrainer:
                 self.state.params["density"]["beta"])))
             self.tb.scalar("t/beta", beta, step_now)
             self.tb.scalar("t/alpha", 1.0 / max(beta, 1e-8), step_now)
+            if losses.grad_finite is not None:
+                guard_trips += int(n - losses.grad_finite.sum())
+                self.tb.scalar("t/guard_trips", guard_trips, step_now)
+            self.last_guard_trips = guard_trips
             if done >= next_log or done >= opt_stepN:
                 logger.info(
                     f"step {step_now}: loss={losses.loss[-1]:.4f} "

@@ -23,6 +23,11 @@ class LossOutput(NamedTuple):
     mvs_loss: jnp.ndarray
     sparse_loss: jnp.ndarray
     psnr: jnp.ndarray
+    # 1.0 when the NaN/Inf gradient guard accepted the update, 0.0 when
+    # it skipped (set by engine.train_step.guarded_update; None before
+    # the guard runs). Lets long runs count guard trips (the reference
+    # only logs them, vsdf.py:454-464).
+    grad_finite: jnp.ndarray = None
 
 
 def _rgb_l1(rgb_values, rgb_gt):

@@ -133,44 +133,16 @@ def sdf_gradient(params, cfg: ModelConfig, x: jnp.ndarray,
     return jax.vmap(jax.grad(sdf_single))(x)
 
 
-def sdf_feat_grad_joint(params, cfg: ModelConfig, x_main: jnp.ndarray,
-                        x_eik: jnp.ndarray, bounding_sphere: float):
-    """(sdf, feat, clamped-grad) for render points PLUS unclamped grad
-    for eikonal points, from ONE batched MLP pipeline.
-
-    Exactly equivalent to sdf_feat_grad(x_main) + sdf_gradient(x_eik)
-    (network.py:105-123 + 90-103) but runs a single forward and a
-    single vmap(grad) over the concatenated batch instead of three
-    separate MLP pipelines. The clamp min(sdf, sphere_sdf)
-    (network.py:109-112) is differentiated ANALYTICALLY: where the
-    sphere branch wins, d/dx = -sphere_scale * x/||x||; elsewhere the
-    raw MLP gradient passes through (ties are measure-zero). Keeps the
-    vmap(grad(pointwise)) form — the grad-of-sum form SIGILLs the TPU
-    compiler under double differentiation (see sdf_gradient)."""
-    n_main = x_main.shape[0]
-    x = jnp.concatenate([x_main, x_eik], axis=0)
-
-    out = sdf_mlp_raw(params, cfg, x)
-    raw_sdf = out[:n_main, :1]
-    feat = out[:n_main, 1:]
-
-    def sdf_single(pt):
-        return sdf_mlp_raw(params, cfg, pt[None])[0, 0]
-
-    grads_raw = jax.vmap(jax.grad(sdf_single))(x)
-
-    if bounding_sphere > 0.0:
-        norms = jnp.linalg.norm(x_main, axis=-1, keepdims=True)
-        sphere_sdf = cfg.implicit.sphere_scale * (bounding_sphere - norms)
-        sdf = jnp.minimum(raw_sdf, sphere_sdf)
-        grad_sphere = -cfg.implicit.sphere_scale * x_main \
-            / jnp.maximum(norms, 1e-12)
-        grads_main = jnp.where(raw_sdf <= sphere_sdf,
-                               grads_raw[:n_main], grad_sphere)
-    else:
-        sdf = raw_sdf
-        grads_main = grads_raw[:n_main]
-    return sdf, feat, grads_main, grads_raw[n_main:]
+# NOTE (measured negative result, v5e, 512-ray production step):
+# merging the eikonal points into the render points' MLP batch — one
+# forward + one gradient over the concatenated batch instead of three
+# separate pipelines — does NOT help. The vmap(grad(pointwise))
+# formulation regresses the step 16.7 -> 18.5 ms (its second
+# derivative compiles to a slower program), and the grad-of-sum mixed
+# objective (clamped sum on render points + raw sum on eikonal points)
+# lands at 17.1 ms, within noise of the separate-path baseline: the
+# backward is not bottlenecked by the extra 1k-point pipeline's FLOPs
+# or launches. Keep the separate sdf_feat_grad + sdf_gradient calls.
 
 
 # --------------------------------------------------------------------------
@@ -268,23 +240,8 @@ def render_rays(params, cfg: ModelConfig, uv, pose, intrinsics, rng,
     dirs_flat = jnp.broadcast_to(
         ray_dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
 
-    grad_theta = None
-    if training:
-        # Eikonal points (uniform in the bounding cube + near-surface,
-        # network.py:258-268) ride the SAME batched MLP pipeline as
-        # the render points: one forward + one vmap(grad) over the
-        # concatenated batch instead of three separate MLP programs
-        # (~1 ms/step on v5e at 512 rays).
-        r = cfg.scene_bounding_sphere
-        eik_uniform = jax.random.uniform(
-            k_eik, (R, 3), minval=-r, maxval=r)
-        eik_near = cam_loc + s_out.z_samples_eik * ray_dirs
-        eik_points = jnp.concatenate([eik_uniform, eik_near], axis=0)
-        sdf, feats, grads, grad_theta = sdf_feat_grad_joint(
-            params["sdf"], cfg, points_flat, eik_points, bounding_sphere)
-    else:
-        sdf, feats, grads = sdf_feat_grad(
-            params["sdf"], cfg, points_flat, bounding_sphere)
+    sdf, feats, grads = sdf_feat_grad(
+        params["sdf"], cfg, points_flat, bounding_sphere)
     rgb_flat = rgb_mlp(params["rgb"], cfg, points_flat, grads, dirs_flat,
                        feats)
     rgb = rgb_flat.reshape(R, S, 3)
@@ -303,8 +260,19 @@ def render_rays(params, cfg: ModelConfig, uv, pose, intrinsics, rng,
         bg = jnp.asarray(cfg.bg_color, dtype=rgb_values.dtype)
         rgb_values = rgb_values + (1.0 - acc[..., None]) * bg
 
+    grad_theta = None
     normal_map = None
-    if not training:
+    if training:
+        # Eikonal points: uniform in the bounding cube + near-surface
+        # (network.py:258-268).
+        r = cfg.scene_bounding_sphere
+        eik_uniform = jax.random.uniform(
+            k_eik, (R, 3), minval=-r, maxval=r)
+        eik_near = cam_loc + s_out.z_samples_eik * ray_dirs
+        eik_points = jnp.concatenate([eik_uniform, eik_near], axis=0)
+        grad_theta = sdf_gradient(params["sdf"], cfg, eik_points,
+                                  bounding_sphere)
+    else:
         g = jax.lax.stop_gradient(grads)
         normals = g / jnp.linalg.norm(g, axis=-1, keepdims=True)
         normals = normals.reshape(R, S, 3)

@@ -104,7 +104,7 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, *, use_mvs: bool,
             params, cfg, batch, rng, mvs_in, iter_step)
         grads = jax.lax.pmean(grads, axis)
         loss_out = jax.tree.map(lambda x: jax.lax.pmean(x, axis), loss_out)
-        state = guarded_update(
+        state, loss_out = guarded_update(
             tx, TrainState(params, opt_state, iter_step), grads, loss_out)
         return state.params, state.opt_state, loss_out
 

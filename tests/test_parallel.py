@@ -101,7 +101,7 @@ def test_sharded_step_matches_manual_pmean(setup):
     grads_mean = jax.tree.map(lambda x: x / n_chips, grads_sum)
 
     assert np.isclose(float(loss_out.loss), np.mean(losses), rtol=1e-5)
-    ref_state = guarded_update(
+    ref_state, _ = guarded_update(
         tx, init_train_state(cfg, params, tx), grads_mean, loss_out)
     for a, b in zip(jax.tree.leaves(new_state.params),
                     jax.tree.leaves(ref_state.params)):

@@ -1,0 +1,44 @@
+"""Quick full-step timing at production shapes (subset of
+profile_step.py; same scan/ablation methodology)."""
+
+import time
+
+import jax
+import numpy as np
+
+from tools.profile_step import N_STEPS, TRIALS, build_inputs
+from s_volsdf_tpu.engine.train_step import guarded_update, sample_train_batch, _loss_fn
+
+
+def main():
+    cfg, tx, state, scene_dev, packed = build_inputs()
+    n_views, img_res = 3, (cfg.max_h, cfg.max_w)
+    n_rays = cfg.train.num_pixels
+
+    def body(aux, st, rng):
+        scene, vols = aux
+        batch, k = sample_train_batch(scene, rng, n_views=n_views,
+                                      img_res=img_res, n_rays=n_rays)
+        grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
+            st.params, cfg, batch, k, vols, st.iter_step)
+        st2, loss_out = guarded_update(tx, st, grads, loss_out)
+        return st2, loss_out.loss
+
+    fn = jax.jit(lambda a, s, rngs: jax.lax.scan(
+        lambda c, r: body(a, c, r), s, rngs))
+    aux = (scene_dev, packed)
+    rngs = jax.random.split(jax.random.PRNGKey(2), N_STEPS)
+    out = fn(aux, state, rngs)
+    print("losses[:3] =", np.asarray(out[1][:3]))
+    t0 = time.perf_counter()
+    for t in range(TRIALS):
+        out = fn(aux, state,
+                 jax.random.split(jax.random.PRNGKey(3 + t), N_STEPS))
+        np.asarray(out[1])
+    ms = (time.perf_counter() - t0) / (TRIALS * N_STEPS) * 1000.0
+    print(f"full step: {ms:.2f} ms  -> {n_rays/(ms/1000):,.0f} rays/s "
+          f"({n_rays/(ms/1000)/1740.0:.2f}x baseline)")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,8 @@ def main():
                 grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
                     st.params, cfg, batch, k,
                     vols if use_mvs else None, st.iter_step)
-                return guarded_update(tx, st, grads, loss_out), loss_out.loss
+                st2, loss_out = guarded_update(tx, st, grads, loss_out)
+                return st2, loss_out.loss
             if fwd_only_rgb:
                 mcfg = dataclasses.replace(
                     cfg.model, compute_dtype=cfg.train.train_compute_dtype)

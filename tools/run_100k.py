@@ -1,0 +1,163 @@
+"""The reference's full production schedule on TPU: opt_stepNs=
+[100000,0,0] (README.md:40-42, config/ours.yaml) at production shapes,
+with mid-run kill + resume evidence — VERDICT r2 item 1.
+
+Drives the REAL pipeline pieces: production-scale DTU fixture
+(576x768 VolSDF res, x2 MVS res 1152x1536), the jitted cascade stage 0
+(random weights — no pretrained ckpt in this env), MVS volumes into
+VolTrainer, scan-chunked optimization with TB/checkpoints/renders,
+loss/PSNR/beta/guard-trip telemetry appended to a JSONL.
+
+Phases:
+  python tools/run_100k.py --exps /tmp/run100k --target 100000 \
+      --crash-at 52000       # phase 1: hard-exits (os._exit) mid-run
+  python tools/run_100k.py --exps /tmp/run100k --target 100000 \
+      --resume               # phase 2: is_continue from latest -> end
+
+The JSONL rows carry wall-clock so RUNLOG_100K.md can be generated
+from them afterwards (tools/summarize_100k.py).
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exps", default="/tmp/run100k")
+    ap.add_argument("--target", type=int, default=100000)
+    ap.add_argument("--crash-at", type=int, default=0,
+                    help="os._exit(17) once iter_step passes this")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--chunk", type=int, default=250)
+    ap.add_argument("--log", default=None)
+    args = ap.parse_args()
+
+    os.makedirs(args.exps, exist_ok=True)
+    log_path = args.log or os.path.join(args.exps, "run100k.jsonl")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s_volsdf_tpu.config import load_config, per_scene_overrides
+    from s_volsdf_tpu.data.fixtures import make_dtu_fixture
+    from s_volsdf_tpu.data.scene_dataset import load_scene
+    from s_volsdf_tpu.engine.runner import (MVSEngine, run_mvs_stage,
+                                            setup_scene)
+    from s_volsdf_tpu.engine.trainer import VolTrainer
+
+    root = os.path.join(args.exps, "data")
+    if not os.path.exists(os.path.join(root, "DTU")):
+        print("building production-scale fixture (576x768)...", flush=True)
+        make_dtu_fixture(root, scan_id=106, img_res=(576, 768))
+
+    cfg = load_config("dtu", overrides=[
+        f"data_dir_root={root}", f"dataset.data_dir_root={root}",
+        "mvs.numdepth=192", "dataset.img_res=[576,768]",
+        f"is_continue={'true' if args.resume else 'false'}",
+    ])
+    cfg = per_scene_overrides(cfg, "scan106")
+    scene_name = "scan106"
+
+    t_all = time.time()
+    sc = setup_scene(cfg, scene_name, exps_root=args.exps)
+    trainer: VolTrainer = sc["trainer"]
+    trainer.chunk_steps = args.chunk
+
+    start_step = int(trainer.state.iter_step)
+    print(f"trainer at step {start_step} (resume={args.resume})",
+          flush=True)
+
+    # Cascade stage 0 at production MVS res -> prob volumes (the run's
+    # MVS regularizer, exactly as save_scene_depth stage 0 wires it).
+    t0 = time.time()
+    engine = MVSEngine(cfg)
+    outs, extras = run_mvs_stage(cfg, engine, sc, 0)
+    trainer.stg = 0
+    mvs = trainer.get_mvs_input(outs)
+    t_cascade = time.time() - t0
+    print(f"cascade stage 0: {t_cascade:.1f}s", flush=True)
+
+    use_mvs = True
+    run_chunk = trainer._get_loop(use_mvs)
+    ti = trainer.trains_i
+    scene_dev = {
+        "rgb": jnp.asarray(trainer.scene.rgb[ti]),
+        "rgb_smooth": jnp.asarray(trainer.scene.rgb_smooth[ti]),
+        "poses": jnp.asarray(trainer.scene.poses[ti]),
+        "intrinsics": jnp.asarray(trainer.scene.intrinsics[ti]),
+    }
+    from s_volsdf_tpu.engine.train_step import pack_for_chunk
+    mvs_dev = pack_for_chunk(cfg, mvs)
+
+    guard_trips = 0
+    logf = open(log_path, "a")
+    t_compile_probe = time.time()
+    first_chunk = True
+    while int(trainer.state.iter_step) < args.target:
+        n = min(args.chunk, args.target - int(trainer.state.iter_step))
+        trainer.rng, sub = jax.random.split(trainer.rng)
+        rngs = jax.random.split(sub, n)
+        t0 = time.time()
+        trainer.state, losses = run_chunk(trainer.state, rngs, scene_dev,
+                                          mvs_dev)
+        losses = jax.tree.map(np.asarray, losses)
+        dt = time.time() - t0
+        if first_chunk:
+            print(f"first chunk (compile) {dt:.1f}s", flush=True)
+            first_chunk = False
+        step = int(trainer.state.iter_step)
+        guard_trips += int(n - losses.grad_finite.sum())
+        beta = float(np.abs(np.asarray(
+            trainer.state.params["density"]["beta"])))
+        rec = {
+            "step": step,
+            "loss": round(float(losses.loss[-1]), 5),
+            "rgb": round(float(losses.rgb_loss[-1]), 5),
+            "eik": round(float(losses.eikonal_loss[-1]), 5),
+            "mvs": round(float(losses.mvs_loss[-1]), 5),
+            "psnr": round(float(losses.psnr[-1]), 3),
+            "beta": round(beta, 6),
+            "guard_trips": guard_trips,
+            "chunk_s": round(dt, 3),
+            "wall": round(time.time() - t_all, 1),
+            "phase": "resume" if args.resume else "initial",
+        }
+        logf.write(json.dumps(rec) + "\n")
+        logf.flush()
+        if step % 5000 < args.chunk:
+            print(json.dumps(rec), flush=True)
+        if step % (args.chunk * 40) < args.chunk:
+            trainer.save_checkpoint()
+        if args.crash_at and step >= args.crash_at:
+            trainer.save_checkpoint()
+            print(f"simulating hard kill at step {step}", flush=True)
+            logf.close()
+            os._exit(17)
+
+    trainer.save_checkpoint()
+    trainer.save_checkpoint("epoch_final")
+
+    # Feedback render (the stage-0 -> stage-1 coupling the production
+    # pipeline performs after the optimization, runner.py:235-243).
+    t0 = time.time()
+    depth = trainer.render_mvs(ti[0])
+    t_render = time.time() - t0
+    rec = {
+        "done": True, "steps": int(trainer.state.iter_step),
+        "guard_trips": guard_trips,
+        "cascade_s": round(t_cascade, 1),
+        "feedback_render_s": round(t_render, 1),
+        "total_wall_s": round(time.time() - t_all, 1),
+        "depth_range": [float(depth.min()), float(depth.max())],
+    }
+    logf.write(json.dumps(rec) + "\n")
+    logf.close()
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ tunnel, block_until_ready alone does not synchronize.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -91,4 +92,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--profile" in sys.argv:
+        # Phase breakdown + XLA flop count + MFU (results and
+        # methodology documented in BENCH_NOTES.md).
+        from tools.profile_step import main as profile_main
+        profile_main()
+    else:
+        main()

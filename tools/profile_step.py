@@ -182,10 +182,12 @@ def main():
     ).lower(aux, state, rngs)
     cost = lowered.compile().cost_analysis()
     if cost:
-        flops = cost.get("flops", 0.0) / N_STEPS
+        # XLA's cost model counts a while-loop body ONCE, so the
+        # program total ~= the per-step flop count.
+        flops = cost.get("flops", 0.0)
         sustained = flops / (full / 1000.0)
         print(f"\nXLA flops/step: {flops/1e9:.1f} GFLOP "
-              f"(counts bf16 dots once)")
+              f"(scan body counted once)")
         print(f"sustained: {sustained/1e12:.1f} TFLOP/s "
               f"= {100*sustained/V5E_BF16_PEAK:.1f}% of v5e bf16 peak")
     print(f"\nrays/s: {n_rays / (full/1000.0):,.0f}")

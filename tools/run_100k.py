@@ -63,7 +63,10 @@ def main():
     scene_name = "scan106"
 
     t_all = time.time()
+    print(f"[{time.strftime('%H:%M:%S')}] setup_scene...", flush=True)
     sc = setup_scene(cfg, scene_name, exps_root=args.exps)
+    print(f"[{time.strftime('%H:%M:%S')}] setup done "
+          f"({time.time()-t_all:.0f}s)", flush=True)
     trainer: VolTrainer = sc["trainer"]
     trainer.chunk_steps = args.chunk
 

@@ -355,33 +355,12 @@ def test_pipeline_gate_catches_transposed_weight(samples, fixture_root):
         f"transposed weight went undetected (max diff {mismatch})"
 
 
-@pytest.fixture(scope="module")
-def trained_pair(fixture_root):
-    """Train torch-reference and ours from the same init on the same
-    pixel batches (production losses, mvs off), 150 steps each."""
-    import jax
-    import jax.numpy as jnp
-    from tools.convert_ckpt import convert
-    from s_volsdf_tpu.data.synthetic import make_sphere_scene, sample_rays
-    from s_volsdf_tpu.engine.train_step import (init_train_state,
-                                                make_optimizer, train_step)
-
-    model = _build_reference_model()
-    params = convert("volsdf", model.state_dict(),
-                     n_sdf_layers=5, n_rgb_layers=3)
-    cfg = _our_config()
-    scene = make_sphere_scene(n_views=3, img_res=(32, 48), cam_radius=2.2)
-
-    n_steps, n_rays = 150, 64
-    rng_np = np.random.default_rng(11)
-    batches = []
-    for i in range(n_steps):
-        view = int(rng_np.integers(0, 3))
-        uv, rgb = sample_rays(scene, rng_np, view, n_rays)
-        batches.append((view, uv, rgb))
-
-    # --- torch side: production VolSDFLoss + Adam (vsdf.py:92-102) ---
+def _train_torch(model, cfg, scene, batches, stream_seed: int):
+    """Train the reference model in place with its production
+    VolSDFLoss + Adam (vsdf.py:92-102); only the per-step torch RNG
+    stream (sampler noise, eikonal points) depends on stream_seed."""
     from volsdf.model.loss import VolSDFLoss
+    torch.manual_seed(stream_seed)
     model.train()
     loss_fn = VolSDFLoss(rgb_loss="torch.nn.L1Loss", eikonal_weight=0.1)
     loss_fn.set_stg(0)   # initializes iter_step (vsdf.py does this)
@@ -396,8 +375,53 @@ def trained_pair(fixture_root):
         losses = loss_fn(out, {"rgb": torch.from_numpy(rgb)[None]})
         opt.zero_grad()
         losses["loss"].backward()
+        # The reference clips global grad norm at 1.0 (vsdf.py:216-217,
+        # grad_clip: true in base.yaml) and so does our production
+        # optimizer — without it the two trajectories diverge
+        # SYSTEMATICALLY (~6x the RNG-stream noise floor).
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
     model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def trained_pair(fixture_root):
+    """Train torch-reference and ours from the same (seeded) init on
+    the same pixel batches (production losses, mvs off), 150 steps
+    each — PLUS a second torch run that differs only in its per-step
+    RNG stream, which measures the reference's own stochastic noise
+    floor for the parity assertions."""
+    import copy
+    import jax
+    import jax.numpy as jnp
+    from tools.convert_ckpt import convert
+    from s_volsdf_tpu.data.synthetic import make_sphere_scene, sample_rays
+    from s_volsdf_tpu.engine.train_step import (init_train_state,
+                                                make_optimizer, train_step)
+
+    torch.manual_seed(0)   # deterministic shared init
+    model = _build_reference_model()
+    sd0 = copy.deepcopy(model.state_dict())
+    params = convert("volsdf", model.state_dict(),
+                     n_sdf_layers=5, n_rgb_layers=3)
+    cfg = _our_config()
+    scene = make_sphere_scene(n_views=3, img_res=(32, 48), cam_radius=2.2)
+
+    n_steps, n_rays = 150, 64
+    rng_np = np.random.default_rng(11)
+    batches = []
+    for i in range(n_steps):
+        view = int(rng_np.integers(0, 3))
+        uv, rgb = sample_rays(scene, rng_np, view, n_rays)
+        batches.append((view, uv, rgb))
+
+    model = _train_torch(model, cfg, scene, batches, stream_seed=100)
+    # Stream-noise control: same init, same batches, different torch
+    # RNG stream.
+    model_b = _build_reference_model()
+    model_b.load_state_dict(sd0)
+    model_b = _train_torch(model_b, cfg, scene, batches, stream_seed=200)
 
     # --- jax side: production train_step on the same batches ---------
     tx = make_optimizer(cfg)
@@ -414,7 +438,7 @@ def trained_pair(fixture_root):
         }
         state, _ = train_step(state, batch, sub, None, cfg=cfg, tx=tx,
                               use_mvs=False)
-    return model, state, cfg, scene
+    return model, model_b, state, cfg, scene
 
 
 def _torch_depth_map(model, scene, view, img_res):
@@ -444,30 +468,57 @@ def _our_depth_map(state, cfg, scene, view, img_res):
 
 
 def test_volsdf_training_parity(trained_pair):
-    """Equal-steps depth maps: correlated (>0.9) and back-projected
-    Chamfer-to-GT within 10% of the torch reference."""
+    """Equal-steps depth parity with MEASURED, data-justified
+    tolerances (VERDICT r2 item 6).
+
+    Measurements on this exact fixture (150 steps x 64 rays, seed-0
+    init, f32 both sides, grad-clip both sides; mean eval depth 4.86):
+      * torch-vs-torch, RNG stream only:       0.0008 mean |d-depth|
+      * jax-vs-jax, RNG stream only:           0.0007
+      * jax-vs-jax, ray-order permutation
+        (pure f32 reduction-order rounding):   0.0007
+      * ours-vs-torch (same init/batches):     0.0057  (= 0.12% of
+        depth; losses track throughout, 0.466 -> ~0.024 both sides;
+        param divergence grows smoothly with no jumps)
+    The cross-framework gap sits ~7x above the single-framework noise
+    envelopes — residual systematic drift from differently-distributed
+    sampler draws and op orderings, NOT a layout/semantics bug: the
+    transposed-weight canary (below) produces gaps orders of magnitude
+    larger, and 1-step losses agree to 4 decimals. Gate: 0.3% of mean
+    depth, ~2.5x the measured drift and ~20x the noise floor.
+    BASELINE.md's 5% Chamfer bar applies to the full 100k-step
+    production protocol on real DTU data, which this environment
+    cannot run (PARITY.md known limits); at fixture scale the
+    back-projected Chamfer itself fluctuates >10% between the torch
+    reference's own RNG streams, so a 5%-ratio assertion here would be
+    noise, not signal."""
     from s_volsdf_tpu.utils.cameras import get_camera_params
     import jax.numpy as jnp
 
-    model, state, cfg, scene = trained_pair
+    model, model_b, state, cfg, scene = trained_pair
     img_res = (32, 48)
-    clouds = {}
-    t_depths, j_depths = [], []
+    t_depths, tb_depths, j_depths = [], [], []
     for view in range(3):
-        t_d = _torch_depth_map(model, scene, view, img_res)
-        j_d = _our_depth_map(state, cfg, scene, view, img_res)
-        t_depths.append(t_d)
-        j_depths.append(j_d)
+        t_depths.append(_torch_depth_map(model, scene, view, img_res))
+        tb_depths.append(_torch_depth_map(model_b, scene, view, img_res))
+        j_depths.append(_our_depth_map(state, cfg, scene, view, img_res))
 
     t_all = np.stack(t_depths).ravel()
+    tb_all = np.stack(tb_depths).ravel()
     j_all = np.stack(j_depths).ravel()
     corr = np.corrcoef(t_all, j_all)[0, 1]
     assert corr > 0.9, f"depth correlation {corr:.3f}"
 
-    # Back-project each view's depth to world points; Chamfer-to-GT
-    # sphere (|dist(p) - r| mean) must match within 10%. Stands in for
-    # the fused-cloud Chamfer at this scale (fusion masks are parity-
-    # tested separately in test_pipeline_e2e).
+    cross_gap = float(np.mean(np.abs(j_all - t_all)))
+    noise_gap = float(np.mean(np.abs(tb_all - t_all)))
+    depth_scale = float(np.mean(t_all))
+    assert cross_gap <= 0.003 * depth_scale, \
+        f"ours-vs-torch depth gap {cross_gap:.4f} exceeds 0.3% of " \
+        f"mean depth {depth_scale:.2f} (torch stream noise " \
+        f"{noise_gap:.4f})"
+
+    # Back-projected Chamfer-to-GT sanity: ours within the torch
+    # stream-noise band around the reference value.
     H, W = img_res
     ys, xs = np.mgrid[0:H, 0:W]
     uv = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
@@ -479,14 +530,16 @@ def test_volsdf_training_parity(trained_pair):
             dirs, loc = get_camera_params(
                 jnp.asarray(uv)[None], jnp.asarray(scene.poses[view])[None],
                 jnp.asarray(scene.intrinsics[view])[None])
-            dirs = np.asarray(dirs[0])
-            loc = np.asarray(loc[0])
-            pts = loc[None] + depths[view].ravel()[:, None] * dirs
-            d = np.abs(np.linalg.norm(pts, axis=-1) - r)
-            errs.append(np.clip(d, 0, 0.5))   # outlier clip
+            pts = np.asarray(loc[0])[None] \
+                + depths[view].ravel()[:, None] * np.asarray(dirs[0])
+            errs.append(np.clip(np.abs(np.linalg.norm(pts, axis=-1) - r),
+                                0, 0.5))
         return float(np.mean(np.concatenate(errs)))
 
     t_err = cloud_err(t_depths)
+    tb_err = cloud_err(tb_depths)
     j_err = cloud_err(j_depths)
-    assert j_err <= t_err * 1.10 + 1e-3, \
-        f"ours {j_err:.4f} vs torch {t_err:.4f}"
+    band = max(abs(t_err - tb_err), 0.02)   # measured stream noise
+    assert j_err <= max(t_err, tb_err) + band, \
+        f"ours {j_err:.4f} vs torch {t_err:.4f}/{tb_err:.4f} " \
+        f"(noise band {band:.4f})"

@@ -63,6 +63,38 @@ def test_resume_latest_restores_state(trained):
     assert int(tr3.state.iter_step) == 45
 
 
+def test_resume_rng_bit_continuity(trained):
+    """A kill+resume at a chunk boundary reproduces the uninterrupted
+    run bit-for-bit: the chunk-RNG key rides in the checkpoint meta
+    (the reference does not checkpoint RNG; vsdf.py:104-111 restores
+    only model/optimizer/epoch)."""
+    cfg, scene, root, tr = trained
+
+    # Uninterrupted: continue the module's trainer 30 more steps.
+    rng_before = np.asarray(tr.rng).copy()
+    tr.save_checkpoint("ckpt_test")
+    tr.run(30, log_every=1000)
+    params_uninterrupted = jax.tree.map(np.asarray, tr.state.params)
+
+    # Killed+resumed: fresh trainer restoring state AND rng from the
+    # checkpoint, then the same 30 steps.
+    # Same chunk_steps as the original: the chunk key is split once
+    # per chunk, so bit-continuity requires resuming with the same
+    # chunk partitioning (production runs use a fixed chunk size).
+    tr2 = VolTrainer(cfg, scene, "scan106",
+                     exps_root=os.path.join(root, "exps"),
+                     is_continue=True, chunk_steps=15)
+    tr2.load_checkpoint("ckpt_test")
+    # __init__ applies _resume_rng only for the checkpoint it loaded at
+    # construction ("latest"); an explicit post-init load stashes it.
+    tr2.rng = tr2._resume_rng
+    np.testing.assert_array_equal(np.asarray(tr2.rng), rng_before)
+    tr2.run(30, log_every=1000)
+    for a, b in zip(jax.tree.leaves(params_uninterrupted),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resume_from_epoch_snapshot(trained):
     cfg, scene, root, tr = trained
     final_params = jax.tree.map(np.asarray, tr.state.params)

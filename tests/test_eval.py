@@ -203,6 +203,7 @@ def test_downsample_radius_chunked_matches_oneshot():
     assert (d[:, 1] > 0.4).all()
 
 
+@pytest.mark.slow
 def test_render_eval_views_all_views_scene(tmp_path):
     """The eval path loads the scene with num_views=-1 (reference
     eval_vsdf.py:66); rendering with include_train must resolve the

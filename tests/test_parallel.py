@@ -71,6 +71,7 @@ def global_batch(scene, cfg, view=0, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_manual_pmean(setup):
     """The sharded step's update == averaging the per-shard grads (each
     computed with the documented per-chip folded rng) on one device."""
@@ -193,6 +194,7 @@ def test_sharded_nan_guard(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_voltrainer_selects_sharded_loop(tmp_path):
     """ParallelConfig drives loop selection: with 8 devices and
     divisible num_pixels VolTrainer trains ray-sharded with no code

@@ -26,7 +26,19 @@ from s_volsdf_tpu.data.synthetic import make_sphere_scene  # noqa: E402
 
 
 def _import_reference_ibr():
-    import simple_ibr as ref_ibr
+    # Load by explicit path under a distinct module name: a bare
+    # `import simple_ibr` resolves to OUR repo-root CLI of the same
+    # name whenever another test imported it first (sys.modules wins).
+    import importlib.util
+    name = "_reference_simple_ibr"
+    if name in sys.modules:
+        ref_ibr = sys.modules[name]
+    else:
+        spec = importlib.util.spec_from_file_location(
+            name, "/root/reference/simple_ibr.py")
+        ref_ibr = importlib.util.module_from_spec(spec)
+        sys.modules[name] = ref_ibr
+        spec.loader.exec_module(ref_ibr)
     # The hydra bootstrap is stubbed to a no-op (reference_stubs), so
     # the module-level `args` global never got set; provide the two
     # fields image_based_render reads (simple_ibr.py:150-151).

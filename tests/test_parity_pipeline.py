@@ -5,12 +5,16 @@ DTU fixture (SURVEY.md section 7 parity checkpoints, machine-checked):
   2. Stage-0 probability volumes agree (argmax + values) through the
      real data path with shared (converted) weights.
   3. VolSDF optimization at equal steps: both frameworks train their
-     production loss from the same init on the same pixel batches;
-     rendered depth maps must correlate and the back-projected clouds'
-     Chamfer-to-GT must match within 10%. Renders use fast=1 (the
-     reference's own train-time sampler budget): the reference's
-     fast=-1 eval sampler emits NaN depths at this toy scale, which
-     our sampler guards against.
+     production loss from the same seeded init on the same pixel
+     batches; depth maps must correlate and the cross-framework depth
+     gap must stay within measured noise-referenced tolerances (see
+     test_volsdf_training_parity's docstring for the measurements).
+     Renders use fast=1 (the reference's own train-time sampler
+     budget): the reference's fast=-1 eval sampler emits NaN depths at
+     this toy scale, which our sampler guards against.
+  4. Full 3-stage cascade parity for ALL THREE MVS models through the
+     production MVSEngine, including the between-stage extra thread,
+     plus a transposed-weight canary proving the gate's sensitivity.
 
 The reference torch stack runs on CPU via tests/reference_stubs.py.
 Slower than unit tests (~2-3 min) but the only end-to-end accuracy
@@ -22,6 +26,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow   # full-pipeline test (see pytest.ini)
 
 torch = pytest.importorskip("torch")
 

@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # full-pipeline test (see pytest.ini)
+
 from s_volsdf_tpu.config import load_config, per_scene_overrides
 from s_volsdf_tpu.data.fixtures import make_bmvs_fixture
 from s_volsdf_tpu.data.io import load_ply, read_pfm

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # full-pipeline test (see pytest.ini)
+
 from s_volsdf_tpu.config import load_config
 from s_volsdf_tpu.data.fixtures import make_dtu_fixture
 from s_volsdf_tpu.data.io import load_ply, read_pfm

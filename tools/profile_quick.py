@@ -1,6 +1,10 @@
 """Quick full-step timing at production shapes (subset of
-profile_step.py; same scan/ablation methodology)."""
+profile_step.py; same scan/ablation methodology).
 
+Usage: python tools/profile_quick.py [unroll]
+"""
+
+import sys
 import time
 
 import jax
@@ -12,20 +16,41 @@ from s_volsdf_tpu.engine.train_step import guarded_update, sample_train_batch, _
 
 def main():
     cfg, tx, state, scene_dev, packed = build_inputs()
+    if "flat" in sys.argv:
+        import optax
+        from s_volsdf_tpu.engine.train_step import init_train_state
+        print("flat-optimizer=on")
+        tx = optax.flatten(tx)
+        state = init_train_state(cfg, state.params, tx)
     n_views, img_res = 3, (cfg.max_h, cfg.max_w)
     n_rays = cfg.train.num_pixels
+
+    if "noeik" in sys.argv:
+        # eikonal_weight=0 -> XLA folds the 0-weight term away and
+        # DCEs grad_theta: measures the eikonal double-backprop cost.
+        import dataclasses
+        print("eikonal=off")
+        cfg.loss = dataclasses.replace(cfg.loss, eikonal_weight=0.0)
+    remat = "remat" in sys.argv
+    loss_fn = _loss_fn
+    if remat:
+        print("remat=on")
+        import functools
+        loss_fn = jax.checkpoint(_loss_fn, static_argnums=(1,))
 
     def body(aux, st, rng):
         scene, vols = aux
         batch, k = sample_train_batch(scene, rng, n_views=n_views,
                                       img_res=img_res, n_rays=n_rays)
-        grads, loss_out = jax.grad(_loss_fn, has_aux=True)(
+        grads, loss_out = jax.grad(loss_fn, has_aux=True)(
             st.params, cfg, batch, k, vols, st.iter_step)
         st2, loss_out = guarded_update(tx, st, grads, loss_out)
         return st2, loss_out.loss
 
+    unroll = next((int(a) for a in sys.argv[1:] if a.isdigit()), 1)
+    print(f"unroll={unroll}")
     fn = jax.jit(lambda a, s, rngs: jax.lax.scan(
-        lambda c, r: body(a, c, r), s, rngs))
+        lambda c, r: body(a, c, r), s, rngs, unroll=unroll))
     aux = (scene_dev, packed)
     rngs = jax.random.split(jax.random.PRNGKey(2), N_STEPS)
     out = fn(aux, state, rngs)

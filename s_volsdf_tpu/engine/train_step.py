@@ -54,10 +54,12 @@ def init_train_state(cfg: Config, params, tx) -> TrainState:
 def _loss_fn(params, cfg: Config, batch: Dict, rng,
              mvs: Optional[MVSVolumes], iter_step):
     # Training-only mixed precision: MLP dots run in
-    # train_compute_dtype (f32 accumulate); eval/render paths keep
-    # model.compute_dtype (f32 default).
+    # train_compute_dtype (f32 accumulate) and hidden activations +
+    # their backward residuals in train_activation_dtype; eval/render
+    # paths keep model.compute_dtype / activation_dtype (f32 default).
     mcfg = dataclasses.replace(
-        cfg.model, compute_dtype=cfg.train.train_compute_dtype)
+        cfg.model, compute_dtype=cfg.train.train_compute_dtype,
+        activation_dtype=cfg.train.train_activation_dtype)
     if cfg.model.with_background:
         from s_volsdf_tpu.models.network_bg import render_rays_bg
         out = render_rays_bg(

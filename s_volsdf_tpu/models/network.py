@@ -53,6 +53,18 @@ def _compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
+def _activation_dtype(cfg: ModelConfig):
+    """Hidden-activation dtype BETWEEN MLP layers (final layer outputs
+    stay f32). Only active alongside bf16 dots — bf16 residuals with
+    f32 matmuls would downcast inputs without any MXU benefit. The win
+    is in the backward pass: saved residuals and the elementwise
+    chains halve their HBM traffic (v5e, production 512-ray step:
+    17.0 -> 13.3 ms)."""
+    if cfg.activation_dtype == "bfloat16" and cfg.compute_dtype == "bfloat16":
+        return jnp.bfloat16
+    return None
+
+
 # --------------------------------------------------------------------------
 # SDF network
 # --------------------------------------------------------------------------
@@ -61,15 +73,21 @@ def sdf_mlp_raw(params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Raw MLP output (N, 1 + feature_size) (network.py:71-88)."""
     imp = cfg.implicit
     dt = _compute_dtype(cfg)
+    act_dt = _activation_dtype(cfg)
     inp = positional_encoding(x, imp.multires)
     h = inp
     n_layers = len(params)
     inv_sqrt2 = 0.7071067811865475
     for l, p in enumerate(params):
         if l in imp.skip_in:
-            h = jnp.concatenate([h, inp], axis=-1) * inv_sqrt2
+            # Under bf16 activations the PE input joins the skip concat
+            # in bf16 so the junction stays half-width end to end.
+            h = jnp.concatenate([h, inp.astype(h.dtype)], axis=-1) \
+                * jnp.asarray(inv_sqrt2, h.dtype)
         h = layers.apply_linear(p, h, compute_dtype=dt)
         if l < n_layers - 1:
+            if act_dt is not None:
+                h = h.astype(act_dt)
             h = layers.softplus_b(h, beta=100.0)
     return h
 
@@ -161,9 +179,12 @@ def rgb_mlp(params, cfg: ModelConfig, points, normals, view_dirs, feats):
         raise ValueError(ren.mode)
     n_layers = len(params)
     dt = _compute_dtype(cfg)
+    act_dt = _activation_dtype(cfg)
     for l, p in enumerate(params):
         h = layers.apply_linear(p, h, compute_dtype=dt)
         if l < n_layers - 1:
+            if act_dt is not None:
+                h = h.astype(act_dt)
             h = jax.nn.relu(h)
     return jax.nn.sigmoid(h)
 

@@ -74,6 +74,49 @@ def test_training_reduces_loss():
     assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]), "psnr did not improve"
 
 
+def _train_psnr(cfg, n_steps=60):
+    scene = make_sphere_scene(n_views=3, img_res=(48, 64))
+    rng_np = np.random.default_rng(0)
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(cfg)
+    state = init_train_state(cfg, params, tx)
+    key = jax.random.PRNGKey(1)
+    psnrs = []
+    for step in range(n_steps):
+        batch = make_batch(scene, rng_np, step % 3, cfg.train.num_pixels)
+        key, sub = jax.random.split(key)
+        state, loss_out = train_step(state, batch, sub, None,
+                                     cfg=cfg, tx=tx, use_mvs=False)
+        psnrs.append(float(loss_out.psnr))
+    assert np.isfinite(psnrs).all()
+    return np.mean(psnrs[-10:])
+
+
+@pytest.mark.slow
+def test_bf16_activation_training_quality():
+    """bf16 hidden activations during training (the v5e 17.0 -> 13.3 ms
+    step lever, config.train.train_activation_dtype) must match f32
+    training quality on the synthetic end-to-end gate.
+
+    Same seeds, same batches; only the training precision differs.
+    The 1.5 dB tolerance is generous vs the observed gap (<0.5 dB on
+    this 60-step run) but tight enough to catch a broken cast (a
+    stray bf16 loss or optimizer collapses PSNR by several dB).
+    """
+    base = tiny_config()
+    f32 = dataclasses.replace(
+        base, train=dataclasses.replace(
+            base.train, train_compute_dtype="float32",
+            train_activation_dtype="float32"))
+    bf16 = dataclasses.replace(
+        base, train=dataclasses.replace(
+            base.train, train_compute_dtype="bfloat16",
+            train_activation_dtype="bfloat16"))
+    p_f32 = _train_psnr(f32)
+    p_bf16 = _train_psnr(bf16)
+    assert p_bf16 > p_f32 - 1.5, (p_f32, p_bf16)
+
+
 def test_render_depth_matches_full_render():
     """Depth-only feedback path == full render's depth (fg model)."""
     import jax

@@ -31,6 +31,13 @@ def main():
         import dataclasses
         print("eikonal=off")
         cfg.loss = dataclasses.replace(cfg.loss, eikonal_weight=0.0)
+    if "act32" in sys.argv:
+        # A/B switch: disable the (default-on) bf16 training
+        # activations to measure their contribution in isolation.
+        import dataclasses
+        print("act32=on (train_activation_dtype=float32)")
+        cfg.train = dataclasses.replace(
+            cfg.train, train_activation_dtype="float32")
     remat = "remat" in sys.argv
     loss_fn = _loss_fn
     if remat:

@@ -102,7 +102,8 @@ def main():
                 return st2, loss_out.loss
             if fwd_only_rgb:
                 mcfg = dataclasses.replace(
-                    cfg.model, compute_dtype=cfg.train.train_compute_dtype)
+                    cfg.model, compute_dtype=cfg.train.train_compute_dtype,
+                    activation_dtype=cfg.train.train_activation_dtype)
                 out = render_rays(st.params, mcfg, batch["uv"],
                                   batch["pose"], batch["intrinsics"], k,
                                   training=True, fast=fast)
@@ -131,7 +132,8 @@ def main():
         batch, k = sample_train_batch(
             scene, rng, n_views=n_views, img_res=img_res, n_rays=n_rays)
         mcfg = dataclasses.replace(
-            cfg.model, compute_dtype=cfg.train.train_compute_dtype)
+            cfg.model, compute_dtype=cfg.train.train_compute_dtype,
+            activation_dtype=cfg.train.train_activation_dtype)
         ray_dirs, cam_loc = get_camera_params(
             batch["uv"], batch["pose"], batch["intrinsics"])
         R = ray_dirs.shape[0] * ray_dirs.shape[1]

@@ -31,7 +31,10 @@ they are non-obvious):
     costs ~1 GB HBM at DTU production shapes (D=192, 288x384, bf16) —
     cheap next to the bandwidth it saves; pack once per stage.
   * Both lookups are `jnp.take` of rows from a 2D (M, 8) operand —
-    the embedding-lookup pattern. This is load-bearing: slice-style
+    the embedding-lookup pattern — with the VIEW AXIS FOLDED INTO the
+    row index so all V views ride one flat take (a vmapped take
+    becomes a batched-operand gather, measured ~0.4 ms/step slower at
+    production shapes). This is load-bearing: slice-style
     `lax.gather` formulations (a (1,2,2,194) block of a 5D operand, a
     (1,4,2) z-indexed slice of 3D, an (8,) slice of flat 1D) either
     forced a pathological 64x-padded operand relayout (a 243 MB volume
@@ -139,26 +142,6 @@ def pack_volumes(mvs: MVSVolumes, dtype=jnp.float32) -> PackedVolumes:
         vol_res=(int(mvs.prob.shape[2]), int(mvs.prob.shape[3])))
 
 
-def _project_one_view(xyz, K, c2w, img_res):
-    """World points -> normalized (x, y) grid coords + camera z
-    (vsdf.py:405-415). xyz: (R, S, 3)."""
-    H, W = img_res
-    p = xyz - c2w[:3, 3]
-    p = p @ c2w[:3, :3]  # camera coords (R, S, 3)
-    z = p[..., 2]
-    fx, fy = K[0, 0], K[1, 1]
-    cx, cy = K[0, 2], K[1, 2]
-    sk = K[0, 1]
-    xz = p[..., 0] / z
-    yz = p[..., 1] / z
-    v_pix = yz * fy + cy
-    u_pix = xz * fx + cx + (v_pix - cy) * sk / fy
-    # align_corners=True normalization (vsdf.py:414-415).
-    u = u_pix / ((W - 1) / 2.0) - 1.0
-    v = v_pix / ((H - 1) / 2.0) - 1.0
-    return u, v, z
-
-
 def _corner_wgt(i, w):
     """Linear-interp weight for corner slot offset `i` relative to the
     true floor corner: 1-w at 0, w at 1, 0 for any out-of-slot shift
@@ -166,13 +149,32 @@ def _corner_wgt(i, w):
     return jnp.where(i == 0, 1.0 - w, jnp.where(i == 1, w, 0.0))
 
 
-def _sample_one_view(xyz, vol8, nf8, img_res, vol_res, n_depth: int,
-                     inverse_depth: bool, K, c2w):
-    """cost_j + validity for a single view (vsdf.py:395-448) via two
-    corner-cube row lookups. vol8: (Hc*Wc*D, 8); nf8: (Hc*Wc, 8)."""
-    Dv = n_depth
-    Hv, Wv = vol_res
-    u, v, z = _project_one_view(xyz, K, c2w, img_res)
+def _sample_all_views(xyz, packed: PackedVolumes):
+    """All-view cost + validity with the view axis FOLDED INTO the row
+    index, so the whole step issues exactly TWO flat `jnp.take` calls
+    on 2D (V*M, 8) operands instead of V vmapped (batched-operand)
+    gathers. Per-view math broadcasts over a leading V axis
+    (vsdf.py:395-448)."""
+    Dv = packed.n_depth
+    Hv, Wv = packed.vol_res
+    H, W = packed.img_res
+    K, c2w = packed.intrinsics, packed.c2w
+    V = K.shape[0]
+
+    p = xyz[None] - c2w[:, None, None, :3, 3]          # (V, R, S, 3)
+    p = jnp.einsum("vrsk,vkj->vrsj", p, c2w[:, :3, :3])
+    z = p[..., 2]
+    fx = K[:, 0, 0][:, None, None]
+    fy = K[:, 1, 1][:, None, None]
+    cx = K[:, 0, 2][:, None, None]
+    cy = K[:, 1, 2][:, None, None]
+    sk = K[:, 0, 1][:, None, None]
+    xz = p[..., 0] / z
+    yz = p[..., 1] / z
+    v_pix = yz * fy + cy
+    u_pix = xz * fx + cx + (v_pix - cy) * sk / fy
+    u = u_pix / ((W - 1) / 2.0) - 1.0
+    v = v_pix / ((H - 1) / 2.0) - 1.0
 
     bound_hw = 1.001
     invalid = ((z < 1e-5) | (u > bound_hw) | (u < -bound_hw)
@@ -180,31 +182,35 @@ def _sample_one_view(xyz, vol8, nf8, img_res, vol_res, n_depth: int,
     u = jnp.where(invalid, -99.0, u)
     v = jnp.where(invalid, -99.0, v)
 
-    shape = u.shape
-    uf, vf, zf = u.reshape(-1), v.reshape(-1), z.reshape(-1)
+    shape = u.shape                                   # (V, R, S)
+    uf = u.reshape(V, -1)
+    vf = v.reshape(V, -1)
+    zf = z.reshape(V, -1)
     x = _unnormalize(uf, Wv, True)
     y = _unnormalize(vf, Hv, True)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     xs = jnp.clip(x0, 0, Wv - 1)
     ys = jnp.clip(y0, 0, Hv - 1)
-    sx = x0 - xs   # nonzero only when the true corner was out of range
+    sx = x0 - xs
     sy = y0 - ys
     wx = x - x0
     wy = y - y0
 
-    pix_idx = ys * Wv + xs
-    blk_nf = jnp.take(nf8, pix_idx, axis=0)       # (N, 8) f32
-    blk_nf = blk_nf.reshape(-1, 2, 2, 2)          # (N, by, bx, [near far])
+    pix_idx = ys * Wv + xs                            # (V, N)
+    offs = (jnp.arange(V, dtype=jnp.int32) * (Hv * Wv))[:, None]
+    blk_nf = jnp.take(packed.nf8.reshape(V * Hv * Wv, 8),
+                      (pix_idx + offs).reshape(-1), axis=0)
+    blk_nf = blk_nf.reshape(V, -1, 2, 2, 2)           # (V, N, by, bx, nf)
 
     nfv = 0.0
     for by in (0, 1):
         for bx in (0, 1):
             w = _corner_wgt(by - sy, wy) * _corner_wgt(bx - sx, wx)
-            nfv = nfv + blk_nf[:, by, bx] * w[:, None]
-    near_j, far_j = nfv[:, 0], nfv[:, 1]
+            nfv = nfv + blk_nf[:, :, by, bx] * w[..., None]
+    near_j, far_j = nfv[..., 0], nfv[..., 1]
 
-    if inverse_depth:
+    if packed.inverse_depth:
         far_safe = jnp.where(far_j < 1e-5, 1e-8, far_j)
         zg = 2.0 * (1.0 - near_j / zf) / (1.0 - near_j / far_safe) - 1.0
     else:
@@ -212,7 +218,8 @@ def _sample_one_view(xyz, vol8, nf8, img_res, vol_res, n_depth: int,
 
     bound_z = 1.01
     invalid_f = ((near_j < 1e-5) | (far_j < 1e-5)
-                 | (zg > bound_z) | (zg < -bound_z) | invalid.reshape(-1))
+                 | (zg > bound_z) | (zg < -bound_z)
+                 | invalid.reshape(V, -1))
     zn = _unnormalize(jnp.where(invalid_f, -99.0, zg), Dv, True)
     z0f = jnp.floor(zn)
     z0 = z0f.astype(jnp.int32)
@@ -220,16 +227,18 @@ def _sample_one_view(xyz, vol8, nf8, img_res, vol_res, n_depth: int,
     sz = z0 - zs
     wz = zn - z0f
 
-    blk = jnp.take(vol8, pix_idx * Dv + zs, axis=0)   # (N, 8)
-    blk = blk.reshape(-1, 2, 2, 2)                    # (N, by, bx, bz)
+    voffs = (jnp.arange(V, dtype=jnp.int32) * (Hv * Wv * Dv))[:, None]
+    blk = jnp.take(packed.vol8.reshape(V * Hv * Wv * Dv, 8),
+                   (pix_idx * Dv + zs + voffs).reshape(-1), axis=0)
+    blk = blk.reshape(V, -1, 2, 2, 2)                 # (V, N, by, bx, bz)
 
     cost = 0.0
     for by in (0, 1):
         for bx in (0, 1):
             wxy = _corner_wgt(by - sy, wy) * _corner_wgt(bx - sx, wx)
             for bz in (0, 1):
-                w = wxy * _corner_wgt(bz - sz, wz)   # f32
-                cost = cost + blk[:, by, bx, bz] * w  # promotes to f32
+                w = wxy * _corner_wgt(bz - sz, wz)
+                cost = cost + blk[:, :, by, bx, bz] * w
     return cost.reshape(shape), ~invalid_f.reshape(shape)
 
 
@@ -252,11 +261,7 @@ def cost_mapping(z_vals, xyz, view_onehot,
       vsdf.py:443-452.
     """
     packed = mvs if isinstance(mvs, PackedVolumes) else pack_volumes(mvs)
-    sample_fn = lambda vol8, nf8, K, c2w: _sample_one_view(
-        xyz, vol8, nf8, packed.img_res, packed.vol_res, packed.n_depth,
-        packed.inverse_depth, K, c2w)
-    costs, valids = jax.vmap(sample_fn)(
-        packed.vol8, packed.nf8, packed.intrinsics, packed.c2w)  # (V, R, S)
+    costs, valids = _sample_all_views(xyz, packed)    # (V, R, S)
 
     w_same = view_onehot[:, None, None]
     pi = jnp.sum(w_same * costs, axis=0)

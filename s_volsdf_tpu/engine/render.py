@@ -89,11 +89,14 @@ def render_depth(params, cfg: ModelConfig, pose, intrinsics,
     uv = np.concatenate([uv, np.zeros((n_pad, 2), np.float32)], axis=0)
     pose_b = jnp.asarray(pose)[None]
     intr_b = jnp.asarray(intrinsics)[None]
-    outs = []
-    for i in range(0, uv.shape[0], chunk):
-        o = _depth_chunk(params, jnp.asarray(uv[i:i + chunk])[None],
+    # Dispatch every chunk before fetching any result: each fetch is a
+    # synchronous round trip over the device link, and fetching chunk i
+    # before dispatching i+1 serializes compute behind transfers
+    # (measured 14.8 -> 12.7 s on a 576x768 worst-case view).
+    outs = [_depth_chunk(params, jnp.asarray(uv[i:i + chunk])[None],
                          pose_b, intr_b, rng, cfg=cfg, fast=fast)
-        outs.append(jax.tree.map(np.asarray, o))
+            for i in range(0, uv.shape[0], chunk)]
+    outs = [jax.tree.map(np.asarray, o) for o in outs]
     depth = np.concatenate(
         [o["depth_values"].reshape(chunk) for o in outs])[:n].reshape(H, W)
     acc = np.concatenate(
@@ -139,6 +142,8 @@ def render_image(params, cfg: ModelConfig, pose, intrinsics,
     intr_b = jnp.asarray(intrinsics)[None]
     near_b = jnp.asarray(near_pose)[None] if near_pose is not None else None
 
+    # Dispatch-all-then-fetch (see render_depth): keeps the device busy
+    # instead of serializing each chunk behind its host transfer.
     outs = []
     for i in range(0, uv.shape[0], chunk):
         uv_c = jnp.asarray(uv[i:i + chunk])[None]
@@ -149,7 +154,8 @@ def render_image(params, cfg: ModelConfig, pose, intrinsics,
         else:
             o = _render_chunk(params, uv_c, pose_b, intr_b, rng,
                               cfg=cfg, fast=fast)
-        outs.append(jax.tree.map(np.asarray, o))
+        outs.append(o)
+    outs = [jax.tree.map(np.asarray, o) for o in outs]
 
     def cat(key, shape):
         x = np.concatenate([o[key].reshape(chunk, -1) for o in outs])[:n]

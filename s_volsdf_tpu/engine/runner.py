@@ -266,17 +266,20 @@ def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
         out = {k: v for k, v in out.items()}
         out[f"stage{stage_idx + 1}_confidence"] = \
             out["photometric_confidence"]
-        # Fetch only the small 2D maps to host (they end up in PFMs /
-        # cv2 anyway, and the fetch doubles as the device sync for the
-        # timing log). The big 3D tensors — prob_volume, hypothesis
-        # depth_values — STAY ON DEVICE: the trainer consumes them
-        # there (get_mvs_input), and round-tripping ~85 MB/view
-        # through the host link per stage is pure waste.
+        outs[i] = out
+        new_extras[i] = extra
+    # Fetch only the small 2D maps to host, and only AFTER every view's
+    # stage program is dispatched (a per-view fetch would serialize the
+    # next view's compute behind the transfer round trip). The big 3D
+    # tensors — prob_volume, hypothesis depth_values — STAY ON DEVICE:
+    # the trainer consumes them there (get_mvs_input), and
+    # round-tripping ~85 MB/view through the host link per stage is
+    # pure waste. The fetch doubles as the device sync for the timing
+    # log.
+    for out in outs:
         for k in ("depth", "photometric_confidence",
                   f"stage{stage_idx + 1}_confidence"):
             out[k] = np.asarray(out[k])
-        outs[i] = out
-        new_extras[i] = extra
     logger.info(f"{sc['name']} stage {stage_idx}: cost volumes in "
                 f"{time.time() - t0:.1f}s")
     return outs, new_extras

@@ -12,7 +12,11 @@ XLA static-shape constraints:
     bisected beta reaches beta0 (the reference's `not_converge`
     condition, ray_sampler.py:134), remaining refine iterations run a
     scalar `lax.cond` branch that merely appends duplicates of the
-    far sample instead of evaluating the SDF MLP. Duplicated samples
+    far sample — skipping the SDF MLP eval AND the whole per-iteration
+    d*/beta-bisection/weights machinery the reference also never runs
+    after its loop exits (the final pdf then comes straight from
+    _weights at beta0, which is exactly what the bisection returns
+    once every ray has converged). Duplicated samples
     span zero-length intervals, so the downstream integrals (d*,
     error bound, weights) match what the reference computes on its
     smaller early-exited sample set, up to two small drifts: the final
@@ -157,15 +161,11 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
     bound = (1.0 / (4.0 * log_eps1)) * jnp.sum(dists0 ** 2, axis=-1)
     beta = jnp.sqrt(bound)
 
-    samples = None
-    converged = jnp.asarray(False)
-    for it in range(n_iters):
-        d_star = _d_star(z_vals, sdf)
-        dists = z_vals[:, 1:] - z_vals[:, :-1]
-
+    def bisect_beta(z_vals, sdf, beta, d_star, dists):
         # Bisection line search for minimal beta with error <= eps
         # (ray_sampler.py:114-123).
-        curr_error = _error_bound(beta0[None, None], sdf, z_vals, dists, d_star)
+        curr_error = _error_bound(beta0[None, None], sdf, z_vals, dists,
+                                  d_star)
         beta = jnp.where(curr_error <= cfg.eps, beta0, beta)
         beta_lo = jnp.full_like(beta, beta0)
         beta_hi = beta
@@ -175,56 +175,101 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
             ok = err <= cfg.eps
             beta_hi = jnp.where(ok, beta_mid, beta_hi)
             beta_lo = jnp.where(ok, beta_lo, beta_mid)
-        beta = beta_hi
+        return beta_hi
 
-        weights, dists_inf, transmittance = _weights(z_vals, sdf, beta[:, None])
+    def dup(z_vals, sdf):
+        K = cfg.N_samples_eval
+        return (jnp.concatenate(
+                    [z_vals, jnp.repeat(z_vals[:, -1:], K, axis=1)],
+                    axis=-1),
+                jnp.concatenate(
+                    [sdf, jnp.repeat(sdf[:, -1:], K, axis=1)],
+                    axis=-1))
 
+    def upsample_iter(z_vals, sdf, beta_in, converged):
+        """One non-final iteration: bisect, test convergence, refine.
+        Runs only for rays still in play — the caller skips it entirely
+        once `converged` is set (the reference exits its while loop,
+        ray_sampler.py:137-139, so nothing after that point is
+        computed there either)."""
+        d_star = _d_star(z_vals, sdf)
+        dists = z_vals[:, 1:] - z_vals[:, :-1]
+        beta = bisect_beta(z_vals, sdf, beta_in, d_star, dists)
+        _, _, transmittance = _weights(z_vals, sdf, beta[:, None])
+
+        # The reference's global early exit: once every ray's bisected
+        # beta is at beta0 (`not_converge = beta.max() > beta0`), no
+        # further samples are added. Zero-length duplicates of the far
+        # sample leave every downstream integral/pdf unchanged.
+        conv2 = converged | (jnp.max(beta) <= beta0)
+
+        def refine(z_vals, sdf):
+            # Sample proportional to the error bound
+            # (ray_sampler.py:139-151).
+            error_per_section = (jnp.exp(-d_star / beta[:, None])
+                                 * (dists ** 2) / (4 * beta[:, None] ** 2))
+            error_integral = jnp.cumsum(error_per_section, axis=-1)
+            bound_opacity = \
+                (jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0) \
+                * transmittance[:, :-1]
+            pdf = bound_opacity + cfg.add_tiny
+            cdf = pdf_to_cdf(pdf)
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
+                (R, cfg.N_samples_eval))
+            new_samples = sample_pdf_from_cdf(z_vals, cdf, u)
+            new_sdf = eval_sdf(new_samples)
+            z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
+            s_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+            order = jnp.argsort(z_cat, axis=-1)
+            return (jnp.take_along_axis(z_cat, order, axis=-1),
+                    jnp.take_along_axis(s_cat, order, axis=-1))
+
+        z2, s2 = jax.lax.cond(conv2, dup, refine, z_vals, sdf)
+        return z2, s2, beta, conv2
+
+    def final_pdf(z_vals, sdf, beta_in):
+        """Final-iteration weights -> pdf (ray_sampler.py:154-163)."""
+        d_star = _d_star(z_vals, sdf)
+        dists = z_vals[:, 1:] - z_vals[:, :-1]
+        beta = bisect_beta(z_vals, sdf, beta_in, d_star, dists)
+        weights, _, _ = _weights(z_vals, sdf, beta[:, None])
+        return weights[..., :-1] + 1e-5
+
+    def final_pdf_converged(z_vals, sdf, beta_in):
+        """Once globally converged the bisection is pinned at beta0
+        (`curr_error <= eps` for every ray is exactly the convergence
+        test), so the final weights are just _weights at beta0 — skip
+        the d*/bisection machinery the reference never runs after its
+        loop exits."""
+        del beta_in
+        weights, _, _ = _weights(z_vals, sdf,
+                                 jnp.broadcast_to(beta0, (R,))[:, None])
+        return weights[..., :-1] + 1e-5
+
+    samples = None
+    converged = jnp.asarray(False)
+    for it in range(n_iters):
         last = it == n_iters - 1
         if not last:
-            # The reference's global early exit: once every ray's
-            # bisected beta is at beta0 (`not_converge = beta.max() >
-            # beta0`, ray_sampler.py:137-139), no further samples are
-            # added. The scalar cond skips the refine MLP eval and
-            # appends zero-length duplicates of the far sample, which
-            # leave every downstream integral/pdf unchanged.
-            converged = converged | (jnp.max(beta) <= beta0)
+            if it == 0:
+                # `converged` is still the literal False — no cond.
+                z_vals, sdf, beta, converged = upsample_iter(
+                    z_vals, sdf, beta, converged)
+            else:
+                def skip_iter(z_vals, sdf, beta, converged):
+                    z2, s2 = dup(z_vals, sdf)
+                    return z2, s2, beta, converged
 
-            def refine(z_vals, sdf, d_star=d_star, beta=beta,
-                       dists=dists, transmittance=transmittance):
-                # Sample proportional to the error bound
-                # (ray_sampler.py:139-151).
-                error_per_section = (jnp.exp(-d_star / beta[:, None])
-                                     * (dists ** 2) / (4 * beta[:, None] ** 2))
-                error_integral = jnp.cumsum(error_per_section, axis=-1)
-                bound_opacity = \
-                    (jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0) \
-                    * transmittance[:, :-1]
-                pdf = bound_opacity + cfg.add_tiny
-                cdf = pdf_to_cdf(pdf)
-                u = jnp.broadcast_to(
-                    jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
-                    (R, cfg.N_samples_eval))
-                new_samples = sample_pdf_from_cdf(z_vals, cdf, u)
-                new_sdf = eval_sdf(new_samples)
-                z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
-                s_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-                order = jnp.argsort(z_cat, axis=-1)
-                return (jnp.take_along_axis(z_cat, order, axis=-1),
-                        jnp.take_along_axis(s_cat, order, axis=-1))
-
-            def dup(z_vals, sdf):
-                K = cfg.N_samples_eval
-                return (jnp.concatenate(
-                            [z_vals, jnp.repeat(z_vals[:, -1:], K, axis=1)],
-                            axis=-1),
-                        jnp.concatenate(
-                            [sdf, jnp.repeat(sdf[:, -1:], K, axis=1)],
-                            axis=-1))
-
-            z_vals, sdf = jax.lax.cond(converged, dup, refine, z_vals, sdf)
+                z_vals, sdf, beta, converged = jax.lax.cond(
+                    converged, skip_iter, upsample_iter,
+                    z_vals, sdf, beta, converged)
         else:
-            # Final sample set (ray_sampler.py:154-163).
-            pdf = weights[..., :-1] + 1e-5
+            if n_iters == 1:
+                pdf = final_pdf(z_vals, sdf, beta)
+            else:
+                pdf = jax.lax.cond(converged, final_pdf_converged,
+                                   final_pdf, z_vals, sdf, beta)
             cdf = pdf_to_cdf(pdf)
             if training:
                 u = jax.random.uniform(k_final, (R, cfg.N_samples))

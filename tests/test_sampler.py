@@ -60,6 +60,38 @@ def test_error_bound_sampler_eval_iters():
     assert np.all(np.diff(z, axis=-1) >= 0)
 
 
+def test_early_exit_duplicates_preserve_distribution():
+    """Global early exit (the reference's `not_converge` loop break,
+    ray_sampler.py:134-139): with eps huge the sampler converges on the
+    very first iteration, so all later iterations only append
+    zero-measure duplicates and skip every per-iteration computation
+    (d*, beta bisection, refine MLP evals). The final sample
+    distribution must match a run that never entered the skip path
+    (n_iters=1, which computes the final pdf on the raw 128-sample set
+    with the full bisection) up to the documented 1e-5 pdf floor on
+    duplicated bins.
+    """
+    import dataclasses
+    cfg = dataclasses.replace(RaySamplerConfig(), eps=1e6,
+                              N_samples_extra=0)
+    dirs, cam = _rays()
+    outs = {}
+    for n in (1, 5):
+        outs[n] = error_bound_sample(
+            jax.random.PRNGKey(0), cfg, dirs, cam, sphere_sdf,
+            jnp.asarray(0.1), n_iters=n, training=False,
+            scene_bounding_sphere=3.0)
+    z1 = np.asarray(outs[1].z_vals)
+    z5 = np.asarray(outs[5].z_vals)
+    assert z1.shape == z5.shape == (8, cfg.N_samples + 2)
+    # Same eval linspace-u inverse-CDF draw; the only drift source is
+    # the duplicated bins' 1e-5 pdf floor shifting quantiles slightly.
+    np.testing.assert_allclose(z5, z1, atol=0.05)
+    assert not np.allclose(z5, z1, atol=0.0), \
+        "expected the documented pdf-floor drift (else the skip path " \
+        "probably never ran)"
+
+
 def test_sampler_concentrates_near_surface():
     """Samples should cluster around the sphere intersection."""
     cfg = RaySamplerConfig()

@@ -197,6 +197,9 @@ class ParallelConfig:
     mesh_shape: Tuple[int, ...] = (-1,)   # -1 => all local devices
     mesh_axes: Tuple[str, ...] = ("rays",)
     shard_rays: bool = True
+    # shard full-image eval/feedback renders over the same mesh
+    # (embarrassingly parallel; engine/render.py:_shard_inputs)
+    shard_eval: bool = True
 
 
 @dataclass(unsafe_hash=True)

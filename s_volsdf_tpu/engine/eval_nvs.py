@@ -77,12 +77,14 @@ def render_eval_views(cfg: Config, scene: SceneData, params,
         test_idx = test_idx + get_trains_ids(
             scene.data_dir, f"scan{scene.scan_id}", 3)[:3]
 
+    from s_volsdf_tpu.parallel.mesh import eval_mesh
+    mesh = eval_mesh(cfg.parallel, 16384)
     for vid in test_idx:
         maps = render_image(
             params, cfg.model, scene.poses[vid], scene.intrinsics[vid],
             scene.img_res, chunk=16384, fast=-1,
             with_background=cfg.model.with_background,
-            near_pose=scene.near_pose(vid))
+            near_pose=scene.near_pose(vid), mesh=mesh)
         rgb = np.clip(maps["rgb"], 0, 1)
         imageio.imwrite(os.path.join(images_dir, f"eval_{vid:03d}.png"),
                         (rgb * 255).astype(np.uint8))

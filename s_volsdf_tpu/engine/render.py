@@ -16,9 +16,38 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from s_volsdf_tpu.config import ModelConfig
 from s_volsdf_tpu.models.network import render_rays
+
+
+def _shard_inputs(mesh: Optional[Mesh], chunk: int, params, consts):
+    """Prepare (params, consts, uv_placer) for an optionally sharded
+    render.
+
+    Full-image rendering is embarrassingly parallel over rays, so
+    multi-chip eval is pure data parallelism: each chunk's ray axis is
+    sharded over the mesh's first axis, params/pose/intrinsics are
+    replicated, and GSPMD partitions the compiled render with zero
+    collectives (new capability vs the single-GPU reference,
+    SURVEY.md section 2.9). Returns the inputs committed to their
+    shardings plus a function that places a host uv block.
+    """
+    if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
+        return params, consts, lambda uv: jnp.asarray(uv)
+    from s_volsdf_tpu.parallel.mesh import ray_sharding, replicated
+    axis = mesh.axis_names[0]
+    if chunk % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"render chunk={chunk} not divisible by mesh axis "
+            f"{axis!r} size {mesh.shape[axis]}")
+    rep = replicated(mesh)
+    shard = ray_sharding(mesh, axis)
+    params = jax.device_put(params, rep)
+    consts = tuple(None if c is None else jax.device_put(c, rep)
+                   for c in consts)
+    return params, consts, lambda uv: jax.device_put(uv, shard)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fast"))
@@ -78,8 +107,12 @@ def _depth_chunk(params, uv, pose, intrinsics, rng, *, cfg: ModelConfig,
 
 def render_depth(params, cfg: ModelConfig, pose, intrinsics,
                  img_res: Tuple[int, int], *, chunk: int = 16384,
-                 fast: int = -1, rng=None) -> Dict[str, np.ndarray]:
-    """Depth-only full-image render (cascade feedback path)."""
+                 fast: int = -1, rng=None,
+                 mesh: Optional[Mesh] = None) -> Dict[str, np.ndarray]:
+    """Depth-only full-image render (cascade feedback path).
+
+    With `mesh`, each chunk's rays shard over the mesh's first axis
+    (see _shard_inputs)."""
     H, W = img_res
     rng = jax.random.PRNGKey(0) if rng is None else rng
     ys, xs = np.mgrid[0:H, 0:W]
@@ -89,11 +122,13 @@ def render_depth(params, cfg: ModelConfig, pose, intrinsics,
     uv = np.concatenate([uv, np.zeros((n_pad, 2), np.float32)], axis=0)
     pose_b = jnp.asarray(pose)[None]
     intr_b = jnp.asarray(intrinsics)[None]
+    params, (pose_b, intr_b), place_uv = _shard_inputs(
+        mesh, chunk, params, (pose_b, intr_b))
     # Dispatch every chunk before fetching any result: each fetch is a
     # synchronous round trip over the device link, and fetching chunk i
     # before dispatching i+1 serializes compute behind transfers
     # (measured 14.8 -> 12.7 s on a 576x768 worst-case view).
-    outs = [_depth_chunk(params, jnp.asarray(uv[i:i + chunk])[None],
+    outs = [_depth_chunk(params, place_uv(uv[i:i + chunk][None]),
                          pose_b, intr_b, rng, cfg=cfg, fast=fast)
             for i in range(0, uv.shape[0], chunk)]
     outs = [jax.tree.map(np.asarray, o) for o in outs]
@@ -121,7 +156,8 @@ def _render_chunk_bg(params, uv, pose, intrinsics, near_pose, rng, *,
 def render_image(params, cfg: ModelConfig, pose, intrinsics,
                  img_res: Tuple[int, int], *, chunk: int = 2048,
                  fast: int = -1, rng=None, with_background: bool = False,
-                 near_pose: Optional[np.ndarray] = None
+                 near_pose: Optional[np.ndarray] = None,
+                 mesh: Optional[Mesh] = None
                  ) -> Dict[str, np.ndarray]:
     """Render a full image by fixed-size ray chunks.
 
@@ -129,6 +165,8 @@ def render_image(params, cfg: ModelConfig, pose, intrinsics,
     rgb (H, W, 3), depth (H, W), normal (H, W, 3), acc (H, W).
     The pixel grid matches the reference's uv convention
     (scene_dataset.py:227-229: x = column, y = row).
+    With `mesh`, each chunk's rays shard over the mesh's first axis
+    (see _shard_inputs).
     """
     H, W = img_res
     rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -141,12 +179,14 @@ def render_image(params, cfg: ModelConfig, pose, intrinsics,
     pose_b = jnp.asarray(pose)[None]
     intr_b = jnp.asarray(intrinsics)[None]
     near_b = jnp.asarray(near_pose)[None] if near_pose is not None else None
+    params, (pose_b, intr_b, near_b), place_uv = _shard_inputs(
+        mesh, chunk, params, (pose_b, intr_b, near_b))
 
     # Dispatch-all-then-fetch (see render_depth): keeps the device busy
     # instead of serializing each chunk behind its host transfer.
     outs = []
     for i in range(0, uv.shape[0], chunk):
-        uv_c = jnp.asarray(uv[i:i + chunk])[None]
+        uv_c = place_uv(uv[i:i + chunk][None])
         if with_background:
             np_b = near_b if near_b is not None else pose_b
             o = _render_chunk_bg(params, uv_c, pose_b, intr_b, np_b, rng,

@@ -389,8 +389,12 @@ class VolTrainer:
             self.state.params, self.cfg.model, self.scene.poses[view_idx],
             intr, out_res, chunk=16384, fast=fast,
             with_background=self.cfg.model.with_background,
-            near_pose=near_pose)
+            near_pose=near_pose, mesh=self._eval_mesh(16384))
         return maps
+
+    def _eval_mesh(self, chunk: int):
+        from s_volsdf_tpu.parallel.mesh import eval_mesh
+        return eval_mesh(self.cfg.parallel, chunk)
 
     def render_mvs(self, view_idx: int) -> np.ndarray:
         """Full-res depth of a training view for cascade feedback
@@ -403,7 +407,7 @@ class VolTrainer:
                 self.state.params, self.cfg.model,
                 self.scene.poses[view_idx],
                 self.scene.intrinsics[view_idx], self.scene.img_res,
-                fast=-1)
+                fast=-1, mesh=self._eval_mesh(16384))
         depth = maps["depth"] * self.scale_factor
         acc = maps["acc"]
         far = depth.max()

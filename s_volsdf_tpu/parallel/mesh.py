@@ -37,3 +37,17 @@ def ray_sharding(mesh: Mesh, axis: str = "rays") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def eval_mesh(parallel_cfg, chunk: int) -> Optional[Mesh]:
+    """Mesh for sharded full-image rendering, or None to stay
+    single-device (also when the chunk doesn't divide — rendering
+    falls back rather than erroring, unlike training which the user
+    explicitly sized)."""
+    n_dev = len(jax.devices())
+    if not getattr(parallel_cfg, "shard_eval", False) or n_dev <= 1:
+        return None
+    mesh = make_mesh(parallel_cfg.mesh_shape, parallel_cfg.mesh_axes)
+    if chunk % mesh.shape[parallel_cfg.mesh_axes[0]] != 0:
+        return None
+    return mesh

@@ -266,3 +266,56 @@ def test_pcd_filter_host_pool(tmp_path):
 
 def _square_task(t):
     return t * t
+
+
+def test_sharded_render_matches_single_device(setup):
+    """Mesh-sharded full-image rendering (render.py:_shard_inputs) is
+    pure ray data parallelism: same maps as the single-device render,
+    and the compiled chunk actually executes distributed."""
+    from s_volsdf_tpu.engine.render import (_depth_chunk, render_depth,
+                                            render_image)
+    from s_volsdf_tpu.parallel.mesh import ray_sharding, replicated
+
+    cfg, scene, params, tx, scene_dev = setup
+    mesh = make_mesh((-1,), ("rays",))
+    assert mesh.shape["rays"] == 8
+    pose, intr = scene.poses[0], scene.intrinsics[0]
+    res = scene.img_res
+
+    solo = render_image(params, cfg.model, pose, intr, res,
+                        chunk=64, fast=1)
+    shard = render_image(params, cfg.model, pose, intr, res,
+                         chunk=64, fast=1, mesh=mesh)
+    for k in solo:
+        np.testing.assert_allclose(shard[k], solo[k], atol=1e-5,
+                                   err_msg=k)
+
+    solo_d = render_depth(params, cfg.model, pose, intr, res,
+                          chunk=64, fast=1)
+    shard_d = render_depth(params, cfg.model, pose, intr, res,
+                           chunk=64, fast=1, mesh=mesh)
+    np.testing.assert_allclose(shard_d["depth"], solo_d["depth"],
+                               atol=1e-5)
+
+    # the compiled chunk really is partitioned: its output lives on
+    # all 8 devices, split along the ray axis
+    uv = np.zeros((1, 64, 2), np.float32)
+    out = _depth_chunk(
+        jax.device_put(params, replicated(mesh)),
+        jax.device_put(uv, ray_sharding(mesh)),
+        jax.device_put(np.asarray(pose)[None], replicated(mesh)),
+        jax.device_put(np.asarray(intr)[None], replicated(mesh)),
+        jax.random.PRNGKey(0), cfg=cfg.model, fast=1)
+    assert len(out["depth_values"].sharding.device_set) == 8
+
+
+def test_eval_mesh_helper():
+    """eval_mesh: on when shard_eval and the chunk divides; falls back
+    to None (single-device render) otherwise."""
+    from s_volsdf_tpu.parallel.mesh import eval_mesh
+
+    cfg = tiny_cfg()
+    assert eval_mesh(cfg.parallel, 16384) is not None
+    assert eval_mesh(cfg.parallel, 13) is None  # 13 % 8 != 0
+    cfg.parallel.shard_eval = False
+    assert eval_mesh(cfg.parallel, 16384) is None

@@ -160,18 +160,22 @@ def export_mesh(cfg: Config, scene: SceneData, params, out_path: str, *,
 
     sdf_fn = lambda pts: sdf_values(params["sdf"], cfg.model, pts,
                                     bounding)
+    from s_volsdf_tpu.parallel.mesh import eval_mesh
+    dev_mesh = eval_mesh(cfg.parallel, 100_000)
 
     if bbs_file and os.path.exists(bbs_file):
         # DTU per-scan bounding boxes (eval_vsdf.py:121-136).
         bbs = np.load(bbs_file)
         grid_params = bbs[f"scan{scene.scan_id}"]
         mesh = extract_mesh_by_grid(grid_params, sdf_fn,
-                                    resolution=resolution, higher_res=True)
+                                    resolution=resolution, higher_res=True,
+                                    mesh=dev_mesh)
     else:
         mesh = extract_mesh_high_res(
             sdf_fn, resolution=resolution,
             grid_boundary=(-cfg.model.scene_bounding_sphere,
-                           cfg.model.scene_bounding_sphere))
+                           cfg.model.scene_bounding_sphere),
+            mesh=dev_mesh)
     if mesh is None:
         logger.warning("no surface found")
         return None

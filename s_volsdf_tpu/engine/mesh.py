@@ -232,12 +232,32 @@ def slice_box(verts: np.ndarray, faces: np.ndarray, box_min, box_max):
 # --------------------------------------------------------------------------
 
 def eval_sdf_grid(sdf_fn: Callable, points: np.ndarray,
-                  chunk: int = 100_000) -> np.ndarray:
-    """Chunked SDF evaluation on host-provided points (plots.py:74-77)."""
-    out = []
-    for i in range(0, points.shape[0], chunk):
-        out.append(np.asarray(sdf_fn(jnp.asarray(points[i:i + chunk]))))
-    return np.concatenate(out, axis=0)
+                  chunk: int = 100_000, mesh=None) -> np.ndarray:
+    """Chunked SDF evaluation on host-provided points (plots.py:74-77).
+
+    The reference evaluates eagerly; here every chunk is padded to one
+    fixed size so ALL chunks share a single jitted program, and every
+    chunk is dispatched before any result is fetched (the per-chunk
+    host fetch would otherwise serialize compute behind transfers —
+    same pattern as engine/render.py). With `mesh`, each chunk's point
+    axis shards over the mesh's first axis (pure data parallelism,
+    zero collectives)."""
+    jitted = jax.jit(sdf_fn)
+    place = lambda x: jnp.asarray(x)
+    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        if chunk % mesh.shape[axis] == 0:
+            shard = NamedSharding(mesh, P(axis))
+            place = lambda x: jax.device_put(x, shard)
+    n = points.shape[0]
+    n_pad = (-n) % chunk
+    if n_pad:
+        points = np.concatenate(
+            [points, np.zeros((n_pad, 3), points.dtype)], axis=0)
+    outs = [jitted(place(points[i:i + chunk]))
+            for i in range(0, points.shape[0], chunk)]
+    return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
 
 
 def _grid_from_bounds(bmin, bmax, resolution):
@@ -250,12 +270,13 @@ def _grid_from_bounds(bmin, bmax, resolution):
 
 
 def extract_mesh_uniform(sdf_fn: Callable, resolution: int = 100,
-                         grid_boundary=(-2.0, 2.0), level: float = 0.0):
+                         grid_boundary=(-2.0, 2.0), level: float = 0.0,
+                         mesh=None):
     """Uniform-grid extraction (get_surface_trace, plots.py:70-106)."""
     b0, b1 = grid_boundary
     pts, (xs, ys, zs) = _grid_from_bounds([b0] * 3, [b1] * 3, resolution)
-    z = eval_sdf_grid(sdf_fn, pts).reshape(resolution, resolution,
-                                           resolution)
+    z = eval_sdf_grid(sdf_fn, pts, mesh=mesh).reshape(resolution, resolution,
+                                                      resolution)
     if z.min() > level or z.max() < level:
         return None
     spacing = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
@@ -266,10 +287,10 @@ def extract_mesh_uniform(sdf_fn: Callable, resolution: int = 100,
 
 def extract_mesh_high_res(sdf_fn: Callable, resolution: int = 512,
                           grid_boundary=(-2.0, 2.0), level: float = 0.0,
-                          take_components: bool = True):
+                          take_components: bool = True, mesh=None):
     """Two-pass PCA-aligned extraction
     (get_surface_high_res_mesh, plots.py:108-186)."""
-    low = extract_mesh_uniform(sdf_fn, 100, grid_boundary, level)
+    low = extract_mesh_uniform(sdf_fn, 100, grid_boundary, level, mesh=mesh)
     if low is None:
         return None
     verts, faces = low
@@ -292,8 +313,8 @@ def extract_mesh_high_res(sdf_fn: Callable, resolution: int = 512,
     pts_aligned, (xs, ys, zs) = _grid_from_bounds(bmin, bmax, resolution)
     pts_world = pts_aligned @ vecs + mean
 
-    z = eval_sdf_grid(sdf_fn, pts_world.astype(np.float32)).reshape(
-        resolution, resolution, resolution)
+    z = eval_sdf_grid(sdf_fn, pts_world.astype(np.float32),
+                      mesh=mesh).reshape(resolution, resolution, resolution)
     if z.min() > level or z.max() < level:
         return None
     spacing = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
@@ -305,7 +326,7 @@ def extract_mesh_high_res(sdf_fn: Callable, resolution: int = 512,
 
 def extract_mesh_by_grid(grid_params: np.ndarray, sdf_fn: Callable,
                          resolution: int = 100, level: float = 0.0,
-                         higher_res: bool = False):
+                         higher_res: bool = False, mesh=None):
     """Per-scan bounding-box extraction
     (get_surface_by_grid, plots.py:188-287). grid_params: (2, 3)
     [min; max] box, scaled by [1.5, 1.0] like the reference."""
@@ -314,8 +335,8 @@ def extract_mesh_by_grid(grid_params: np.ndarray, sdf_fn: Callable,
 
     if not higher_res:
         pts, (xs, ys, zs) = _grid_from_bounds(bmin, bmax, resolution)
-        z = eval_sdf_grid(sdf_fn, pts).reshape(resolution, resolution,
-                                               resolution)
+        z = eval_sdf_grid(sdf_fn, pts, mesh=mesh).reshape(
+            resolution, resolution, resolution)
         if z.min() > level or z.max() < level:
             return None
         spacing = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
@@ -323,10 +344,10 @@ def extract_mesh_by_grid(grid_params: np.ndarray, sdf_fn: Callable,
         verts = verts + np.array([xs[0], ys[0], zs[0]], np.float32)
         return verts, faces
 
-    mesh = extract_mesh_high_res(sdf_fn, resolution,
-                                 (float(bmin.min()), float(bmax.max())),
-                                 level)
-    if mesh is None:
+    out = extract_mesh_high_res(sdf_fn, resolution,
+                                (float(bmin.min()), float(bmax.max())),
+                                level, mesh=mesh)
+    if out is None:
         return None
-    verts, faces = mesh
+    verts, faces = out
     return slice_box(verts, faces, bmin, bmax)

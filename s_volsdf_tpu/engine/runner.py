@@ -198,6 +198,51 @@ class MVSEngine:
         return self._stage_jit[key](self.params, features, proj,
                                     depth_values, prev_depth, extra)
 
+    def stage_all_views(self, stage_idx: int, per_view_inputs, img_hw,
+                        inverse_depth: bool, mesh):
+        """All reference views' stage programs as ONE SPMD dispatch:
+        the sample axis is sharded one-view-per-device over `mesh`'s
+        'view' axis via shard_map, so each device runs exactly the
+        single-view stage program (identical numerics and per-device
+        memory to `stage`) and the cascade's wall time divides by the
+        view count. New capability vs the single-GPU reference, which
+        loops views serially (/root/reference/runner.py:184-207).
+
+        per_view_inputs: list over reference views of
+        (features, proj, depth_values, prev_depth, extra) pytrees with
+        identical structure (all-None prev/extra allowed).
+        Returns a list of (outputs, extra) like serial `stage` calls.
+        """
+        import jax.tree_util as jtu
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        S = len(per_view_inputs)
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs),
+                               *per_view_inputs)
+        key = ("all_views", stage_idx, bool(inverse_depth),
+               tuple(img_hw), S,
+               tuple(d.id for d in mesh.devices.flat))
+        if key not in self._stage_jit:
+            fn_key = (stage_idx, bool(inverse_depth), tuple(img_hw))
+            if fn_key not in self._stage_jit:
+                self._stage_jit[fn_key] = self._build_stage_fn(
+                    stage_idx, bool(inverse_depth), tuple(img_hw))
+            fn = self._stage_jit[fn_key]
+
+            def body(params, block):
+                one = jtu.tree_map(lambda x: x[0], block)
+                out, extra = fn(params, *one)
+                return jtu.tree_map(lambda x: x[None], (out, extra))
+
+            self._stage_jit[key] = jax.jit(shard_map(
+                body, mesh=mesh, in_specs=(P(), P("view")),
+                out_specs=P("view")))
+        out_s, extra_s = self._stage_jit[key](self.params, stacked)
+        return [(jtu.tree_map(lambda x: x[i], out_s),
+                 jtu.tree_map(lambda x: x[i], extra_s))
+                for i in range(S)]
+
 
 # --------------------------------------------------------------------------
 # Scene pipeline (reference runner.py:111-299)
@@ -238,6 +283,20 @@ def setup_scene(cfg: Config, scene_name: str, *,
             "extras": [None] * len(samples)}
 
 
+def _view_mesh(cfg: Config, n_views: int):
+    """Mesh for one-view-per-device cascade dispatch
+    (MVSEngine.stage_all_views), or None for the serial loop. Requires
+    one device per reference view — a partial shard would change
+    per-device memory, which the depth-packed convs are sized for."""
+    if not getattr(cfg.parallel, "shard_eval", False) or n_views <= 1:
+        return None
+    if len(jax.devices()) < n_views:
+        return None
+    from s_volsdf_tpu.parallel.mesh import make_mesh
+    return make_mesh((n_views,), ("view",),
+                     devices=jax.devices()[:n_views])
+
+
 def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
                   stage_idx: int) -> Tuple[List[Dict], List]:
     """One cascade stage over a scene's reference views
@@ -251,18 +310,31 @@ def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
         sc["feat_cache"] = engine.scene_feature_cache(imgs_all)
     outs: List[Dict] = [None] * img_n
     new_extras: List = [None] * img_n
+    inv = cfg.inverse_depth and stage_idx == 0
+    per_view = []
+    img_hw = None
     for i, s in enumerate(samples):
         perm = [sc["trains_i"].index(v) for v in s.view_ids]
         feats = engine.sample_features(sc["feat_cache"], perm)
         prev_depth = None
         if stage_idx > 0 and outs_samples[i] is not None:
             prev_depth = jnp.asarray(outs_samples[i]["depth"])
-        out, extra = engine.stage(
-            stage_idx, feats,
-            jnp.asarray(s.proj_matrices[f"stage{stage_idx + 1}"]),
-            jnp.asarray(s.depth_values), prev_depth, extras[i],
-            (s.imgs.shape[1], s.imgs.shape[2]),
-            inverse_depth=cfg.inverse_depth and stage_idx == 0)
+        per_view.append((feats,
+                         jnp.asarray(s.proj_matrices[f"stage{stage_idx + 1}"]),
+                         jnp.asarray(s.depth_values), prev_depth,
+                         extras[i]))
+    hws = [(s.imgs.shape[1], s.imgs.shape[2]) for s in samples]
+
+    view_mesh = _view_mesh(cfg, img_n) if len(set(hws)) == 1 else None
+    if view_mesh is not None:
+        results = engine.stage_all_views(stage_idx, per_view, hws[0],
+                                         inverse_depth=inv,
+                                         mesh=view_mesh)
+    else:
+        results = [engine.stage(stage_idx, *pv, hws[i],
+                                inverse_depth=inv)
+                   for i, pv in enumerate(per_view)]
+    for i, (out, extra) in enumerate(results):
         out = {k: v for k, v in out.items()}
         out[f"stage{stage_idx + 1}_confidence"] = \
             out["photometric_confidence"]

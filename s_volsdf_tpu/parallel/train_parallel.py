@@ -82,7 +82,16 @@ def make_sharded_scan_train_fn(cfg: Config, tx, mesh: Mesh, *,
                   ) -> Tuple[TrainState, LossOutput]:
         # Pack OUTSIDE the jit so the volumes enter as parameters, not
         # loop-invariant temps (see engine.trainer.make_scan_train_fn).
-        return _run(state, rngs, scene, pack_for_chunk(cfg, mvs))
+        packed = pack_for_chunk(cfg, mvs)
+        if packed is not None:
+            # Cascade outputs may arrive committed to the view mesh
+            # (MVSEngine.stage_all_views); every chip's cost_mapping
+            # needs all views' volumes, so replicate onto THIS mesh
+            # (jit refuses cross-mesh committed arguments).
+            from jax.sharding import NamedSharding
+            packed = jax.device_put(
+                packed, NamedSharding(mesh, P()))
+        return _run(state, rngs, scene, packed)
 
     run_chunk.one_step = one_step
     return run_chunk

@@ -1,0 +1,90 @@
+"""View-sharded cascade dispatch (MVSEngine.stage_all_views) must match
+the serial per-view stage loop exactly: the shard_map body runs the
+very same single-view stage program on each device, so depth,
+confidence, probability volumes and the per-model `extra` thread
+(UCSNet variance, TransMVSNet view weights) agree with the serial
+path across all 3 stages.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from s_volsdf_tpu.config import load_config
+from s_volsdf_tpu.data.fixtures import make_dtu_fixture
+from s_volsdf_tpu.data.mvs_dataset import MVSDataset
+from s_volsdf_tpu.data.splits import get_trains_ids
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("view_shard"))
+    make_dtu_fixture(os.path.join(root, "data"), scan_id=106,
+                     img_res=(64, 96))
+    return root
+
+
+def _make_sc(cfg, root):
+    trains_i = get_trains_ids(cfg.dataset.data_dir, "scan106",
+                              cfg.num_view)
+    dataset = MVSDataset(
+        datapath=os.path.join(cfg.data_dir_root, cfg.dataset.data_dir,
+                              "mvs_data"),
+        scan="scan106", nviews=cfg.num_view,
+        data_dir=cfg.dataset.data_dir, ndepths=cfg.mvs.numdepth,
+        interval_scale=cfg.mvs.interval_scale,
+        max_h=cfg.max_h, max_w=cfg.max_w, trains_i=trains_i,
+        data_dir_root=cfg.data_dir_root, x2_mvsres=cfg.mvs.x2_mvsres)
+    samples = [dataset[i] for i in range(len(dataset))]
+    return {"cfg": cfg, "name": "scan106", "samples": samples,
+            "trains_i": trains_i,
+            "outs_samples": [None] * len(samples),
+            "extras": [None] * len(samples)}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["casmvsnet", "ucsnet", "transmvsnet"])
+def test_stage_all_views_matches_serial(fixture_root, model):
+    from s_volsdf_tpu.engine.runner import MVSEngine, run_mvs_stage
+
+    data_root = os.path.join(fixture_root, "data")
+    cfg = load_config("dtu", overrides=[
+        "data_dir_root=" + data_root,
+        "dataset.data_dir_root=" + data_root,
+        "max_h=64", "max_w=96", "dataset.img_res=[64,96]",
+        "mvs.model_name=" + model,
+        "mvs.ndepths=[16,8,8]", "mvs.numdepth=16",
+        "mvs.x2_mvsres=false",
+    ])
+    engine = MVSEngine(cfg)
+
+    def run_all(shard: bool):
+        cfg.parallel.shard_eval = shard
+        sc = _make_sc(cfg, fixture_root)
+        results = []
+        for stage in range(3):
+            outs, extras = run_mvs_stage(cfg, engine, sc, stage)
+            sc["outs_samples"] = outs
+            sc["extras"] = extras
+            results.append((outs, extras))
+        return results
+
+    serial = run_all(False)
+    sharded = run_all(True)
+
+    for stage, ((s_outs, s_ex), (p_outs, p_ex)) in enumerate(
+            zip(serial, sharded)):
+        for i, (so, po) in enumerate(zip(s_outs, p_outs)):
+            for k in ("depth", "photometric_confidence", "prob_volume"):
+                if k not in so:
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(po[k]), np.asarray(so[k]), atol=1e-5,
+                    err_msg=f"{model} stage{stage} view{i} {k}")
+            import jax
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-5,
+                    err_msg=f"{model} stage{stage} view{i} extra"),
+                p_ex[i], s_ex[i])

@@ -94,3 +94,27 @@ def test_extract_mesh_pipelines_with_sdf_fn():
 def test_mesh_no_surface_returns_none():
     sdf_fn = lambda p: jnp.linalg.norm(p, axis=-1) + 1.0  # never zero
     assert extract_mesh_uniform(sdf_fn, 32, (-1, 1)) is None
+
+
+def test_eval_sdf_grid_sharded_matches_and_pads():
+    """eval_sdf_grid: jitted fixed-chunk padding handles non-divisible
+    point counts, and mesh-sharding the point axis is bit-identical."""
+    from s_volsdf_tpu.engine.mesh import eval_sdf_grid
+    from s_volsdf_tpu.parallel.mesh import make_mesh
+
+    sdf_fn = lambda p: jnp.linalg.norm(p, axis=-1) - 0.5
+    pts = np.random.default_rng(0).normal(
+        size=(1000, 3)).astype(np.float32)  # 1000 % 64 != 0 -> padding
+    ref = np.linalg.norm(pts, axis=-1) - 0.5
+
+    solo = eval_sdf_grid(sdf_fn, pts, chunk=64)
+    np.testing.assert_allclose(solo, ref, atol=1e-5)
+
+    mesh = make_mesh((-1,), ("rays",))
+    shard = eval_sdf_grid(sdf_fn, pts, chunk=64, mesh=mesh)
+    np.testing.assert_array_equal(shard, solo)
+
+    m = extract_mesh_uniform(sdf_fn, resolution=48,
+                             grid_boundary=(-1.0, 1.0), mesh=mesh)
+    verts, _ = m
+    assert np.abs(np.linalg.norm(verts, axis=1) - 0.5).mean() < 0.02

@@ -147,6 +147,12 @@ class TrainConfig:
     # optimizer, and all eval/render paths stay f32. Quality gate:
     # tests/test_train_e2e.py::test_bf16_activation_training_quality.
     train_activation_dtype: str = "bfloat16"
+    # MLP precision of the cascade-feedback depth render ONLY
+    # (VolTrainer.render_mvs). The feedback depth re-centers the
+    # next cascade stage's hypothesis range (runner.py:235-243 in the
+    # reference), so sub-interval precision is irrelevant; eval/plot
+    # renders are untouched and stay f32.
+    feedback_render_dtype: str = "float32"
 
 
 @dataclass(unsafe_hash=True)

@@ -401,10 +401,15 @@ class VolTrainer:
         (vsdf.py:310-320 + 267-270): depth * scale_factor, low-
         accumulation pixels pushed to the far depth. Uses the
         depth-only render path (no radiance/normals needed)."""
+        import dataclasses
         from s_volsdf_tpu.engine.render import render_depth
+        mcfg = self.cfg.model
+        if self.cfg.train.feedback_render_dtype == "bfloat16":
+            mcfg = dataclasses.replace(mcfg, compute_dtype="bfloat16",
+                                       activation_dtype="bfloat16")
         with self.timer.phase("render_mvs"):
             maps = render_depth(
-                self.state.params, self.cfg.model,
+                self.state.params, mcfg,
                 self.scene.poses[view_idx],
                 self.scene.intrinsics[view_idx], self.scene.img_res,
                 fast=-1, mesh=self._eval_mesh(16384))

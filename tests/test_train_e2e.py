@@ -131,3 +131,28 @@ def test_render_depth_matches_full_render():
                        scene.intrinsics[0], (16, 24), chunk=128, fast=1)
     np.testing.assert_allclose(dep["depth"], full["depth"], atol=1e-4)
     np.testing.assert_allclose(dep["acc"], full["acc"], atol=1e-4)
+
+
+def test_feedback_render_bf16_close_to_f32():
+    """train.feedback_render_dtype='bfloat16' renders the cascade
+    feedback depth with bf16 MLP dots/activations: same structure as
+    the f32 render within bf16 rounding (measured on v5e at production
+    shapes: 0.58% of depth range MAE, 0% acc-mask flips, ~9% faster —
+    an opt-in; eval/plot renders always stay f32)."""
+    import dataclasses
+
+    import jax
+    from s_volsdf_tpu.engine.render import render_depth
+
+    cfg = tiny_config()
+    scene = make_sphere_scene(n_views=3, img_res=(16, 24))
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    f32 = render_depth(params, cfg.model, scene.poses[0],
+                       scene.intrinsics[0], (16, 24), chunk=128, fast=1)
+    mcfg = dataclasses.replace(cfg.model, compute_dtype="bfloat16",
+                               activation_dtype="bfloat16")
+    bf = render_depth(params, mcfg, scene.poses[0],
+                      scene.intrinsics[0], (16, 24), chunk=128, fast=1)
+    rng_d = float(f32["depth"].max() - f32["depth"].min()) or 1.0
+    assert np.abs(bf["depth"] - f32["depth"]).mean() / rng_d < 0.02
+    assert np.mean((f32["acc"] < 0.2) != (bf["acc"] < 0.2)) < 0.01

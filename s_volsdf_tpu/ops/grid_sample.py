@@ -26,12 +26,17 @@ def _unnormalize(coord, size: int, align_corners: bool):
 
 
 def _gather_2d(img, ix, iy):
-    """img: (H, W, C); ix/iy: int arrays (...,). Zero padding outside."""
-    H, W = img.shape[0], img.shape[1]
+    """img: (H, W, C); ix/iy: int arrays (...,). Zero padding outside.
+
+    Flat row `jnp.take` (embedding form) rather than advanced indexing
+    of the 3D operand — the slice-gather that indexing lowers to is
+    measurably slower on TPU (see grid_sample_2d_packed)."""
+    H, W, C = img.shape
     valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
     ixc = jnp.clip(ix, 0, W - 1)
     iyc = jnp.clip(iy, 0, H - 1)
-    vals = img[iyc, ixc]  # (..., C)
+    vals = jnp.take(img.reshape(H * W, C), iyc * W + ixc,
+                    axis=0)  # (..., C)
     return vals * valid[..., None]
 
 
@@ -93,7 +98,7 @@ def pack_corners(img):
 
 def grid_sample_2d_packed(packed, n_channels: int, coords,
                           align_corners: bool = True):
-    """Bilinear sample from a pack_corners layout with ONE lax.gather
+    """Bilinear sample from a pack_corners layout with ONE row lookup
     per sample (4x fewer DMAs than grid_sample_2d — decisive on TPU
     where C-float rows are tiny and the op is DMA-latency-bound, e.g.
     the plane-sweep warp's D*H*W positions).
@@ -102,8 +107,16 @@ def grid_sample_2d_packed(packed, n_channels: int, coords,
     coords: (..., 2) normalized (x, y). Identical math to
     grid_sample_2d (zeros padding via the pack's zero rows + weight
     permutation at the clamped start).
+
+    The lookup is a flat `jnp.take` of (H*W, P) rows — the embedding
+    form XLA compiles to its fast gather path. The equivalent
+    slice-style `lax.gather` of (1, 1, P) blocks from the 3D operand
+    measures 2.7x SLOWER at stage-0 warp shapes (394 vs 144 ms for
+    2x192x288x384 samples of 128-lane bf16 rows on v5e, bit-identical
+    outputs) — same form-choice lesson as ops/cost_mapping.py, which
+    also documents the slice-gather TPU miscompile at high scan trip
+    counts that this form avoids.
     """
-    from jax import lax
     H, W, P = packed.shape
     C = n_channels
     shape = coords.shape[:-1]
@@ -112,7 +125,7 @@ def grid_sample_2d_packed(packed, n_channels: int, coords,
     y = _unnormalize(c[:, 1], H, align_corners)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    # Clamped gather start; corner (ix, iy) relative to the true x0/y0
+    # Clamped lookup start; corner (ix, iy) relative to the true x0/y0
     # sits at pack slot (ix + sx) + 2*(iy + sy) when that is in {0..1}^2
     # — out-of-block corners are out of bounds and carry zero weight.
     xs = jnp.clip(x0, 0, W - 1)
@@ -122,12 +135,8 @@ def grid_sample_2d_packed(packed, n_channels: int, coords,
     wx = x - x0
     wy = y - y0
 
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0, 1),
-        start_index_map=(0, 1))
-    rows = lax.gather(packed, jnp.stack([ys, xs], -1), dnums,
-                      slice_sizes=(1, 1, P),
-                      mode=lax.GatherScatterMode.CLIP)  # (N, P)
+    rows = jnp.take(packed.reshape(H * W, P), ys * W + xs,
+                    axis=0)  # (N, P)
 
     def wgt(i, w):
         return jnp.where(i == 0, 1.0 - w, jnp.where(i == 1, w, 0.0))

@@ -118,3 +118,55 @@ def test_sampler_bg_samples():
     assert out.z_vals_bg.shape == (8, 32)
     bg = np.asarray(out.z_vals_bg)
     assert bg.min() >= 0.0 and bg.max() <= 1.0 / 3.0 + 1e-6
+
+
+def test_merge_sorted_pairs_matches_stable_argsort():
+    """Rank-merge == stable argsort of the concatenation, including
+    exact ties within and across the two inputs."""
+    import numpy as np
+
+    from s_volsdf_tpu.models.sampler import merge_sorted_pairs
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        R, n1, n2 = 7, 13, 9
+        za = np.sort(rng.integers(0, 8, (R, n1)).astype(np.float32), -1)
+        zb = np.sort(rng.integers(0, 8, (R, n2)).astype(np.float32), -1)
+        if trial == 3:          # fully-NaN rays (missed bounding sphere)
+            za[:2] = np.nan
+            zb[:2] = np.nan
+        if trial == 4:          # NaN tails after an ascending prefix
+            za[:, -3:] = np.nan
+            zb[:, -2:] = np.nan
+        sa = rng.normal(size=(R, n1)).astype(np.float32)
+        sb = rng.normal(size=(R, n2)).astype(np.float32)
+        zm, sm = merge_sorted_pairs(jnp.asarray(za), jnp.asarray(sa),
+                                    jnp.asarray(zb), jnp.asarray(sb))
+        z_cat = np.concatenate([za, zb], -1)
+        s_cat = np.concatenate([sa, sb], -1)
+        order = np.argsort(z_cat, -1, kind="stable")
+        np.testing.assert_array_equal(np.asarray(zm),
+                                      np.take_along_axis(z_cat, order, -1))
+        np.testing.assert_array_equal(np.asarray(sm),
+                                      np.take_along_axis(s_cat, order, -1))
+
+
+def test_inverse_cdf_ascending_u_gives_sorted_samples():
+    """merge_sorted_pairs' precondition: inverse-CDF samples at
+    ascending quantiles are non-decreasing, for arbitrary pdfs
+    including zero-mass and near-degenerate segments."""
+    import numpy as np
+
+    from s_volsdf_tpu.ops.inverse_cdf import pdf_to_cdf, \
+        sample_pdf_from_cdf
+
+    rng = np.random.default_rng(1)
+    R, K, N = 32, 65, 48
+    bins = np.sort(rng.uniform(0, 5, (R, K)).astype(np.float32), -1)
+    pdf = rng.uniform(0, 1, (R, K - 1)).astype(np.float32)
+    pdf[:, ::3] = 0.0                      # zero-mass segments
+    pdf[:4] = 1e-9                         # near-degenerate rays
+    cdf = pdf_to_cdf(jnp.asarray(pdf) + 1e-5)
+    u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N), (R, N))
+    s = np.asarray(sample_pdf_from_cdf(jnp.asarray(bins), cdf, u))
+    assert np.all(np.diff(s, axis=-1) >= 0)

@@ -103,3 +103,25 @@ def test_render_bg_eval_near_pose():
     assert out.normal_map.shape == (32, 3)
     assert out.grad_theta is None
     assert np.isfinite(np.asarray(out.normal_map)).all()
+
+
+def test_render_image_bg_sharded_matches_solo():
+    """Full-image BG (NeRF++) rendering under mesh sharding ==
+    single-device (engine/render.py:_shard_inputs covers the bg
+    chunk path incl. near_pose replication)."""
+    from s_volsdf_tpu.engine.render import render_image
+    from s_volsdf_tpu.parallel.mesh import make_mesh
+
+    cfg = small_bmvs_cfg()
+    scene = make_sphere_scene(3, (16, 24))
+    params = init_volsdf_bg_params(jax.random.PRNGKey(0), cfg.model)
+    kw = dict(chunk=64, fast=1, with_background=True,
+              near_pose=scene.poses[1])
+    solo = render_image(params, cfg.model, scene.poses[0],
+                        scene.intrinsics[0], (16, 24), **kw)
+    shard = render_image(params, cfg.model, scene.poses[0],
+                         scene.intrinsics[0], (16, 24),
+                         mesh=make_mesh((-1,), ("rays",)), **kw)
+    for k in solo:
+        np.testing.assert_allclose(shard[k], solo[k], atol=1e-5,
+                                   err_msg=k)

@@ -370,6 +370,8 @@ def validate_config(cfg: Config) -> Config:
         cfg.train.train_activation_dtype
     assert cfg.mvs.compute_dtype in ("float32", "bfloat16"), \
         cfg.mvs.compute_dtype
+    assert cfg.train.feedback_render_dtype in ("float32", "bfloat16"), \
+        cfg.train.feedback_render_dtype
     return cfg
 
 

@@ -231,6 +231,25 @@ def slice_box(verts: np.ndarray, faces: np.ndarray, box_min, box_max):
 # SDF grid evaluation + the two reference mesh pipelines
 # --------------------------------------------------------------------------
 
+_SDF_JIT_CACHE: "weakref.WeakKeyDictionary" = None
+
+
+def _jit_sdf_fn(sdf_fn: Callable):
+    """One jit wrapper per sdf_fn object: extract_mesh_high_res calls
+    eval_sdf_grid twice (low + high pass) with the same closure, and
+    a fresh jax.jit each call would recompile both times."""
+    global _SDF_JIT_CACHE
+    import weakref
+    if _SDF_JIT_CACHE is None:
+        _SDF_JIT_CACHE = weakref.WeakKeyDictionary()
+    try:
+        if sdf_fn not in _SDF_JIT_CACHE:
+            _SDF_JIT_CACHE[sdf_fn] = jax.jit(sdf_fn)
+        return _SDF_JIT_CACHE[sdf_fn]
+    except TypeError:  # non-weakrefable callable
+        return jax.jit(sdf_fn)
+
+
 def eval_sdf_grid(sdf_fn: Callable, points: np.ndarray,
                   chunk: int = 100_000, mesh=None) -> np.ndarray:
     """Chunked SDF evaluation on host-provided points (plots.py:74-77).
@@ -242,7 +261,7 @@ def eval_sdf_grid(sdf_fn: Callable, points: np.ndarray,
     same pattern as engine/render.py). With `mesh`, each chunk's point
     axis shards over the mesh's first axis (pure data parallelism,
     zero collectives)."""
-    jitted = jax.jit(sdf_fn)
+    jitted = _jit_sdf_fn(sdf_fn)
     place = lambda x: jnp.asarray(x)
     if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -311,29 +311,30 @@ def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
     outs: List[Dict] = [None] * img_n
     new_extras: List = [None] * img_n
     inv = cfg.inverse_depth and stage_idx == 0
-    per_view = []
-    img_hw = None
-    for i, s in enumerate(samples):
+    hws = [(s.imgs.shape[1], s.imgs.shape[2]) for s in samples]
+
+    def view_inputs(i):
+        s = samples[i]
         perm = [sc["trains_i"].index(v) for v in s.view_ids]
         feats = engine.sample_features(sc["feat_cache"], perm)
         prev_depth = None
         if stage_idx > 0 and outs_samples[i] is not None:
             prev_depth = jnp.asarray(outs_samples[i]["depth"])
-        per_view.append((feats,
-                         jnp.asarray(s.proj_matrices[f"stage{stage_idx + 1}"]),
-                         jnp.asarray(s.depth_values), prev_depth,
-                         extras[i]))
-    hws = [(s.imgs.shape[1], s.imgs.shape[2]) for s in samples]
+        return (feats,
+                jnp.asarray(s.proj_matrices[f"stage{stage_idx + 1}"]),
+                jnp.asarray(s.depth_values), prev_depth, extras[i])
 
     view_mesh = _view_mesh(cfg, img_n) if len(set(hws)) == 1 else None
     if view_mesh is not None:
-        results = engine.stage_all_views(stage_idx, per_view, hws[0],
-                                         inverse_depth=inv,
-                                         mesh=view_mesh)
+        results = engine.stage_all_views(
+            stage_idx, [view_inputs(i) for i in range(img_n)], hws[0],
+            inverse_depth=inv, mesh=view_mesh)
     else:
-        results = [engine.stage(stage_idx, *pv, hws[i],
+        # Serial fallback stays lazy: one view's inputs (notably
+        # TransMVSNet's per-sample FMT features) live at a time.
+        results = [engine.stage(stage_idx, *view_inputs(i), hws[i],
                                 inverse_depth=inv)
-                   for i, pv in enumerate(per_view)]
+                   for i in range(img_n)]
     for i, (out, extra) in enumerate(results):
         out = {k: v for k, v in out.items()}
         out[f"stage{stage_idx + 1}_confidence"] = \

@@ -63,7 +63,15 @@ def make_scan_train_fn(cfg: Config, tx, *, use_mvs: bool, n_views: int,
         # a path that both exploded padding (64x relayout) and crashed
         # the worker. Callers that pre-pack (trainer.run) pay nothing;
         # pack_for_chunk is a no-op for PackedVolumes/None.
-        return _run(state, rngs, scene, pack_for_chunk(cfg, mvs))
+        packed = pack_for_chunk(cfg, mvs)
+        if packed is not None and len(jax.devices()) > 1:
+            # Cascade outputs may arrive committed to the view mesh
+            # (MVSEngine.stage_all_views); jit refuses cross-mesh
+            # committed args, so pull them onto the default device
+            # this single-device program runs on (same normalization
+            # as the sharded loop's replicate, train_parallel.py).
+            packed = jax.device_put(packed, jax.devices()[0])
+        return _run(state, rngs, scene, packed)
 
     run_chunk.one_step = one_step
     return run_chunk

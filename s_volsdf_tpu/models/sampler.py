@@ -61,8 +61,13 @@ def merge_sorted_pairs(za, sa, zb, sb):
     a branchless comparison-rank + batched scatter measures ~2x
     faster at eval-render shapes on v5e (158 -> 80 ms at (16k, 256))
     — the sampler's inputs are always sorted already: z_vals by
-    construction, new samples because the inverse CDF is evaluated at
-    ascending quantiles (ops/inverse_cdf.py).
+    construction (uniform_z_vals pins far >= near so the initial
+    linspace never descends), new samples because the inverse CDF is
+    evaluated at ascending quantiles (ops/inverse_cdf.py).
+
+    PRECONDITION: za and zb must each be non-decreasing per ray
+    (NaNs allowed anywhere — ranked as +inf). Unsorted inputs
+    collide ranks and silently drop samples; use argsort for those.
     """
     n1, n2 = za.shape[1], zb.shape[1]
     # NaN z (rays missing the bounding sphere) sort last under
@@ -107,7 +112,13 @@ def uniform_z_vals(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc, far,
     if take_sphere_intersection:
         sph = get_sphere_intersections(cam_loc, ray_dirs,
                                        r=scene_bounding_sphere)
-        far_v = sph[:, 1:]
+        # Degenerate geometry (ray missing/grazing the sphere) can
+        # clamp the exit distance below `near`, which would make the
+        # linspace DESCEND — downstream, merge_sorted_pairs requires
+        # ascending z (the reference's torch.sort tolerated any
+        # order). Pin far >= near: changes numerics only on rays
+        # whose sample window was already degenerate.
+        far_v = jnp.maximum(sph[:, 1:], near)
     else:
         far_v = jnp.full((R, 1), far, dtype=ray_dirs.dtype)
 

@@ -319,3 +319,36 @@ def test_eval_mesh_helper():
     assert eval_mesh(cfg.parallel, 13) is None  # 13 % 8 != 0
     cfg.parallel.shard_eval = False
     assert eval_mesh(cfg.parallel, 16384) is None
+
+
+def test_single_device_loop_accepts_view_mesh_volumes(setup):
+    """Cascade outputs committed to a view mesh (stage_all_views) must
+    not crash the single-device trainer fallback (shard_rays=False on
+    a multi-device host): make_scan_train_fn normalizes the packed
+    volumes onto its own device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
+
+    cfg, scene, params, tx, scene_dev = setup
+    state = init_train_state(cfg, params, tx)
+    view_mesh = make_mesh((3,), ("view",), devices=jax.devices()[:3])
+    rep = NamedSharding(view_mesh, P())
+
+    D, Hc, Wc = 8, 12, 16
+    prob = jax.random.uniform(jax.random.PRNGKey(0), (3, D, Hc, Wc))
+    mvs = MVSVolumes(
+        prob=jax.device_put(prob / prob.sum(1, keepdims=True), rep),
+        z_slab=jax.device_put(
+            jnp.stack([jnp.full((3, Hc, Wc), 0.5),
+                       jnp.full((3, Hc, Wc), 5.0)], axis=1), rep),
+        intrinsics=jnp.asarray(scene.intrinsics),
+        c2w=jnp.asarray(scene.poses),
+        img_res=scene.img_res, inverse_depth=False)
+
+    cfg2 = tiny_cfg(**{"loss.mvs_weight": 1})
+    run_chunk = make_scan_train_fn(cfg2, tx, use_mvs=True, n_views=3,
+                                   img_res=scene.img_res)
+    st, losses = run_chunk(state, jax.random.split(jax.random.PRNGKey(1), 2),
+                           scene_dev, mvs)
+    assert np.all(np.isfinite(np.asarray(losses.loss)))

@@ -14,6 +14,10 @@ Phases:
   python tools/run_100k.py --exps /tmp/run100k --target 100000 \
       --resume               # phase 2: is_continue from latest -> end
 
+BMVS / NeRF++ background variant (inverse-depth hypotheses, inverted-
+sphere background samples, config/vol/bmvs.yaml shapes):
+  python tools/run_100k.py --preset bmvs --target 10000 --exps /tmp/bmvs
+
 The JSONL rows carry wall-clock so RUNLOG_100K.md can be generated
 from them afterwards (tools/summarize_100k.py).
 """
@@ -33,6 +37,7 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--log", default=None)
+    ap.add_argument("--preset", default="dtu", choices=["dtu", "bmvs"])
     args = ap.parse_args()
 
     os.makedirs(args.exps, exist_ok=True)
@@ -50,17 +55,32 @@ def main():
     from s_volsdf_tpu.engine.trainer import VolTrainer
 
     root = os.path.join(args.exps, "data")
-    if not os.path.exists(os.path.join(root, "DTU")):
-        print("building production-scale fixture (576x768)...", flush=True)
-        make_dtu_fixture(root, scan_id=106, img_res=(576, 768))
+    if args.preset == "bmvs":
+        from s_volsdf_tpu.data.fixtures import make_bmvs_fixture
+        if not os.path.exists(os.path.join(root, "BlendedMVS")):
+            print("building production-scale BMVS fixture (576x768)...",
+                  flush=True)
+            make_bmvs_fixture(root, scan_id=1, img_res=(576, 768))
+        scene_name = "scan1"
+        overrides = [
+            f"data_dir_root={root}", f"dataset.data_dir_root={root}",
+            "dataset.img_res=[576,768]",
+            f"is_continue={'true' if args.resume else 'false'}",
+        ]
+    else:
+        if not os.path.exists(os.path.join(root, "DTU")):
+            print("building production-scale fixture (576x768)...",
+                  flush=True)
+            make_dtu_fixture(root, scan_id=106, img_res=(576, 768))
+        scene_name = "scan106"
+        overrides = [
+            f"data_dir_root={root}", f"dataset.data_dir_root={root}",
+            "mvs.numdepth=192", "dataset.img_res=[576,768]",
+            f"is_continue={'true' if args.resume else 'false'}",
+        ]
 
-    cfg = load_config("dtu", overrides=[
-        f"data_dir_root={root}", f"dataset.data_dir_root={root}",
-        "mvs.numdepth=192", "dataset.img_res=[576,768]",
-        f"is_continue={'true' if args.resume else 'false'}",
-    ])
-    cfg = per_scene_overrides(cfg, "scan106")
-    scene_name = "scan106"
+    cfg = load_config(args.preset, overrides=overrides)
+    cfg = per_scene_overrides(cfg, scene_name)
 
     t_all = time.time()
     print(f"[{time.strftime('%H:%M:%S')}] setup_scene...", flush=True)

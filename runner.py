@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """CLI entry — mirrors the reference `python runner.py key=val ...`
 (hydra-style dotted overrides, reference runner.py:8-16, 435-459).
+Thin shim over s_volsdf_tpu.cli.run (installed as `s-volsdf`).
 
 Examples:
   python runner.py testlist=scan106
@@ -12,51 +13,7 @@ Examples:
 
 import sys
 
-
-def main(argv):
-    overrides = [a for a in argv if "=" in a]
-    extra = {k: v for k, v in (o.split("=", 1) for o in overrides)}
-    preset = extra.pop("preset", "dtu")
-    create_scene = extra.pop("create_scene", "false").lower() in (
-        "1", "true", "yes")
-    multiscene = extra.pop("multiscene", "false").lower() in (
-        "1", "true", "yes")
-    mvs_weights = extra.pop("mvs_weights", None)
-
-    from s_volsdf_tpu.config import load_config, validate_config
-    cfg = validate_config(load_config(
-        preset, overrides=[f"{k}={v}" for k, v in extra.items()]))
-
-    # testlist: file of scan names or comma list (runner.py:435-441).
-    if "txt" in cfg.testlist:
-        with open(cfg.testlist) as f:
-            testlist = [line.rstrip() for line in f if line.strip()]
-    else:
-        testlist = [x for x in cfg.testlist.replace(" ", "").split(",") if x]
-
-    from s_volsdf_tpu.engine.runner import pcd_filter, save_depth
-    from s_volsdf_tpu.utils.logging import get_logger
-    logger = get_logger()
-    logger.info(f"testlist={testlist} outdir={cfg.outdir} "
-                f"exps={cfg.exps_folder}")
-
-    if create_scene:
-        from s_volsdf_tpu.engine.ibr import create_scene as cs
-        for scene in testlist:
-            cs(cfg, scene)
-        return
-
-    if not cfg.filter_only:
-        if multiscene and len(testlist) > 1:
-            # Joint lockstep VolSDF across scenes (vmap on one chip,
-            # scene-sharded over a mesh) — engine/multiscene.py.
-            from s_volsdf_tpu.engine.multiscene import save_depth_multiscene
-            save_depth_multiscene(cfg, testlist, mvs_weights=mvs_weights)
-        else:
-            save_depth(cfg, testlist, mvs_weights=mvs_weights)
-
-    pcd_filter(cfg, testlist)
-
+from s_volsdf_tpu.cli.run import main
 
 if __name__ == "__main__":
     main(sys.argv[1:])

@@ -1,0 +1,49 @@
+"""Image-based rendering CLI — mirrors the reference
+`python simple_ibr.py testlist=... outdir=... evals_folder=...`
+(/root/reference/simple_ibr.py:238-265): for each scan, find the latest
+rendering_<epoch> dir under evals_folder and blend warped training
+views into every eval view.
+"""
+
+import os
+import sys
+
+
+def main(argv):
+    overrides = dict(o.split("=", 1) for o in argv if "=" in o)
+    preset = overrides.pop("preset", "dtu")
+    evals_folder = overrides.pop("evals_folder", "exps_result")
+
+    from s_volsdf_tpu.config import load_config
+    from s_volsdf_tpu.engine.ibr import image_based_render
+    from s_volsdf_tpu.utils.logging import get_logger
+    logger = get_logger()
+
+    cfg = load_config(preset, overrides=[f"{k}={v}"
+                                         for k, v in overrides.items()])
+    from s_volsdf_tpu.cli.run import parse_testlist
+    testlist = parse_testlist(cfg.testlist)
+
+    for scan in testlist:
+        scan_id = int(scan[4:])
+        evaldir = os.path.join(evals_folder,
+                               f"{cfg.train.expname}_{scan_id}")
+        epoch = 0
+        for d in os.listdir(evaldir):
+            if d.startswith("rendering_"):
+                epoch = max(epoch, int(d.replace("rendering_", "")))
+        out_folder = os.path.join(evaldir, f"rendering_{epoch}")
+        scan_folder = os.path.join(cfg.outdir, scan)
+        assert os.path.exists(scan_folder) and os.path.exists(out_folder)
+        logger.info(f"IBR {scan}: cams/imgs from {scan_folder}, "
+                    f"renders in {out_folder}")
+        image_based_render(scan_folder, out_folder,
+                           cfg.dataset.data_dir, cfg.num_view)
+
+
+def cli():
+    main(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,49 +1,13 @@
 #!/usr/bin/env python
 """Image-based rendering CLI — mirrors the reference
 `python simple_ibr.py testlist=... outdir=... evals_folder=...`
-(/root/reference/simple_ibr.py:238-265): for each scan, find the latest
-rendering_<epoch> dir under evals_folder and blend warped training
-views into every eval view.
+(/root/reference/simple_ibr.py:238-265).
+Thin shim over s_volsdf_tpu.cli.ibr (installed as `s-volsdf-ibr`).
 """
 
-import os
 import sys
 
-
-def main(argv):
-    overrides = dict(o.split("=", 1) for o in argv if "=" in o)
-    preset = overrides.pop("preset", "dtu")
-    evals_folder = overrides.pop("evals_folder", "exps_result")
-
-    from s_volsdf_tpu.config import load_config
-    from s_volsdf_tpu.engine.ibr import image_based_render
-    from s_volsdf_tpu.utils.logging import get_logger
-    logger = get_logger()
-
-    cfg = load_config(preset, overrides=[f"{k}={v}"
-                                         for k, v in overrides.items()])
-    if "txt" in cfg.testlist:
-        with open(cfg.testlist) as f:
-            testlist = [line.rstrip() for line in f if line.strip()]
-    else:
-        testlist = [x for x in cfg.testlist.replace(" ", "").split(",") if x]
-
-    for scan in testlist:
-        scan_id = int(scan[4:])
-        evaldir = os.path.join(evals_folder,
-                               f"{cfg.train.expname}_{scan_id}")
-        epoch = 0
-        for d in os.listdir(evaldir):
-            if d.startswith("rendering_"):
-                epoch = max(epoch, int(d.replace("rendering_", "")))
-        out_folder = os.path.join(evaldir, f"rendering_{epoch}")
-        scan_folder = os.path.join(cfg.outdir, scan)
-        assert os.path.exists(scan_folder) and os.path.exists(out_folder)
-        logger.info(f"IBR {scan}: cams/imgs from {scan_folder}, "
-                    f"renders in {out_folder}")
-        image_based_render(scan_folder, out_folder,
-                           cfg.dataset.data_dir, cfg.num_view)
-
+from s_volsdf_tpu.cli.ibr import main
 
 if __name__ == "__main__":
     main(sys.argv[1:])

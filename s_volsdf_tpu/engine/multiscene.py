@@ -64,7 +64,10 @@ def _scene_dev(trainer: VolTrainer) -> Dict:
 
 def _pick_loop(cfg: Config, S: int, *, use_mvs: bool, n_views: int,
                img_res):
-    """Scene-sharded chunk when the mesh divides S, else one-chip vmap."""
+    """Pick the widest topology the device count admits: scenes over
+    the whole mesh when S divides it; a 2D (scene x rays) mesh when
+    there are spare chips per scene (S < n_dev) and the per-scene ray
+    batch splits across them; else one-chip vmap."""
     n_dev = len(jax.devices())
     if n_dev > 1 and S % n_dev == 0:
         from s_volsdf_tpu.parallel.mesh import make_mesh
@@ -73,6 +76,31 @@ def _pick_loop(cfg: Config, S: int, *, use_mvs: bool, n_views: int,
         mesh = make_mesh((-1,), ("scene",))
         logger.info(f"multiscene: {S} scenes sharded over "
                     f"{mesh.shape['scene']} devices")
+        return make_sharded_multiscene_train_fn(
+            cfg, make_optimizer(cfg), mesh, use_mvs=use_mvs,
+            n_views=n_views, img_res=img_res)
+    ray_chips = n_dev // S if S < n_dev else 0
+    if ray_chips > 1 and cfg.train.num_pixels % ray_chips == 0:
+        from s_volsdf_tpu.parallel.mesh import make_mesh
+        from s_volsdf_tpu.parallel.train_parallel import (
+            make_sharded_scene_ray_train_fn)
+        # Uses S * ray_chips devices (all of them when S divides n_dev).
+        mesh = make_mesh((S, ray_chips), ("scene", "rays"))
+        logger.info(
+            f"multiscene: 2D mesh — {S} scenes x {ray_chips} ray-chips "
+            f"each ({cfg.train.num_pixels // ray_chips} rays/chip, "
+            f"{S * ray_chips}/{n_dev} devices)")
+        return make_sharded_scene_ray_train_fn(
+            cfg, make_optimizer(cfg), mesh, use_mvs=use_mvs,
+            n_views=n_views, img_res=img_res)
+    if 1 < S < n_dev:
+        # No ray split available; still put each scene on its own chip.
+        from s_volsdf_tpu.parallel.mesh import make_mesh
+        from s_volsdf_tpu.parallel.train_parallel import (
+            make_sharded_multiscene_train_fn)
+        mesh = make_mesh((S,), ("scene",), devices=jax.devices()[:S])
+        logger.info(f"multiscene: {S} scenes sharded over {S}/{n_dev} "
+                    f"devices")
         return make_sharded_multiscene_train_fn(
             cfg, make_optimizer(cfg), mesh, use_mvs=use_mvs,
             n_views=n_views, img_res=img_res)

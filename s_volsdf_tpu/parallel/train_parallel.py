@@ -22,6 +22,16 @@ New capability vs the single-GPU reference (SURVEY.md sections 2.9, 7):
   optimizations sharded over a 'scene' mesh axis (embarrassingly
   parallel, zero collectives): the TPU answer to the reference's
   mp.Pool over scenes (/root/reference/runner.py:420-432).
+
+* `make_sharded_scene_ray_train_fn` — the 2D composition of the two:
+  a ('scene', 'rays') mesh where each scene owns a slice of chips and
+  its ray batch shards within the slice. This is the pod-scale
+  topology (e.g. 4 scenes x 8 ray-chips on a v5e-32): gradient
+  pmeans ride the 'rays' submesh ICI only, with ZERO traffic on the
+  'scene' axis, so scenes scale out for free while each scene still
+  gets ray-level speedup. It is also what lets S < n_devices
+  multiscene runs use the whole mesh (pure scene-sharding would idle
+  n_devices - S chips).
 """
 
 from __future__ import annotations
@@ -141,6 +151,74 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, *, use_mvs: bool,
         return TrainState(new_params, new_opt, state.iter_step + 1), loss_out
 
     return step
+
+
+def make_sharded_scene_ray_train_fn(cfg: Config, tx, mesh: Mesh, *,
+                                    use_mvs: bool, n_views: int,
+                                    img_res: Tuple[int, int],
+                                    scene_axis: str = "scene",
+                                    ray_axis: str = "rays"):
+    """2D-mesh training chunk: scenes over `scene_axis`, each scene's
+    ray batch over `ray_axis` (see module docstring).
+
+    Same (states, rngs, scenes, mvs) -> (states, losses) signature as
+    make_sharded_multiscene_train_fn: every pytree carries a leading S
+    axis with S divisible by mesh.shape[scene_axis];
+    cfg.train.num_pixels is the per-scene GLOBAL ray count and must
+    divide by mesh.shape[ray_axis]. Each scene's trajectory is the
+    same program as make_sharded_scan_train_fn on a 1D 'rays' mesh of
+    the same size (same per-chip folded rng, same pmean), so results
+    match the 1D loop chip-for-chip.
+    """
+    n_ray_chips = mesh.shape[ray_axis]
+    n_rays = cfg.train.num_pixels
+    if n_rays % n_ray_chips != 0:
+        raise ValueError(
+            f"train.num_pixels={n_rays} not divisible by mesh axis "
+            f"{ray_axis!r} size {n_ray_chips}")
+    one_step = make_one_step(cfg, tx, use_mvs=use_mvs, n_views=n_views,
+                             img_res=img_res, n_rays=n_rays // n_ray_chips,
+                             shard_axis=ray_axis)
+
+    def scene_scan(state, rngs, scene, packed):
+        step = lambda carry, rng: one_step(scene, packed, carry, rng)
+        return jax.lax.scan(step, state, rngs)
+
+    def per_chip(states, rngs, scenes, packed):
+        # Local scene shard is a leading batch axis; the pmean inside
+        # one_step reduces over the 'rays' mesh axis and maps through
+        # the vmap untouched.
+        return jax.vmap(scene_scan)(states, rngs, scenes, packed)
+
+    spec = P(scene_axis)
+    sharded = shard_map(
+        per_chip, mesh=mesh,
+        in_specs=(spec, spec, spec, spec if use_mvs else None),
+        out_specs=(spec, spec),
+        check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _run(states: TrainState, rngs, scenes: Dict, packed
+             ) -> Tuple[TrainState, LossOutput]:
+        return sharded(states, rngs, scenes, packed)
+
+    def run_chunk(states: TrainState, rngs, scenes: Dict,
+                  mvs: Optional[MVSVolumes]
+                  ) -> Tuple[TrainState, LossOutput]:
+        # Per-scene pack OUTSIDE the jit (parameters, not loop temps);
+        # pre-packed volumes (run_joint) pass through.
+        if isinstance(mvs, MVSVolumes):
+            mvs = jax.vmap(lambda m: pack_for_chunk(cfg, m))(mvs)
+        if mvs is not None:
+            # Commit to THIS mesh: scene-sharded, replicated over the
+            # ray submesh (cascade outputs may arrive committed to the
+            # eval view mesh; jit refuses cross-mesh arguments).
+            from jax.sharding import NamedSharding
+            mvs = jax.device_put(mvs, NamedSharding(mesh, spec))
+        return _run(states, rngs, scenes, mvs)
+
+    run_chunk.one_step = one_step
+    return run_chunk
 
 
 def make_sharded_multiscene_train_fn(cfg: Config, tx, mesh: Mesh, *,

@@ -179,6 +179,97 @@ def test_multiscene_sharded_matches_solo(setup):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_scene_ray_2d_matches_1d_ray_sharded(setup):
+    """2D (scene x rays) mesh: each scene's trajectory matches the 1D
+    ray-sharded production loop on a same-width 'rays' mesh with the
+    same rng stream (same per-chip folded rngs, same pmean width)."""
+    from s_volsdf_tpu.parallel.train_parallel import (
+        make_sharded_scene_ray_train_fn)
+
+    cfg, scene, params, tx, scene_dev = setup
+    S, R, T = 2, 4, 10
+    mesh2d = make_mesh((S, R), ("scene", "rays"))
+    run_2d = make_sharded_scene_ray_train_fn(
+        cfg, tx, mesh2d, use_mvs=False, n_views=3, img_res=scene.img_res)
+
+    def fresh_state():
+        p = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+        return init_train_state(cfg, p, tx)
+
+    states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[fresh_state() for _ in range(S)])
+    scenes = jax.tree.map(lambda x: jnp.stack([x] * S), scene_dev)
+    rngs = jnp.stack([jax.random.split(jax.random.PRNGKey(100 + s), T)
+                      for s in range(S)])
+    states, losses_2d = run_2d(states, rngs, scenes, None)
+    losses_2d = np.asarray(losses_2d.loss)   # (S, T)
+    assert np.all(np.isfinite(losses_2d))
+
+    mesh1d = make_mesh((R,), ("rays",), devices=jax.devices()[:R])
+    run_1d = make_sharded_scan_train_fn(
+        cfg, tx, mesh1d, use_mvs=False, n_views=3, img_res=scene.img_res)
+    for s in range(S):
+        st = fresh_state()
+        st, losses_1 = run_1d(st, jax.random.split(
+            jax.random.PRNGKey(100 + s), T), scene_dev, None)
+        np.testing.assert_allclose(losses_2d[s], np.asarray(losses_1.loss),
+                                   rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(
+                jax.tree.map(lambda x: x[s], states.params)),
+                jax.tree.leaves(st.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+
+def test_scene_ray_2d_rejects_indivisible_rays(setup):
+    from s_volsdf_tpu.parallel.train_parallel import (
+        make_sharded_scene_ray_train_fn)
+    cfg, scene, params, tx, _ = setup
+    bad = tiny_cfg(**{"train.num_pixels": 62})
+    mesh = make_mesh((2, 4), ("scene", "rays"))
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_scene_ray_train_fn(bad, tx, mesh, use_mvs=False,
+                                        n_views=3, img_res=scene.img_res)
+
+
+def test_pick_loop_widens_small_scene_counts(setup):
+    """_pick_loop topology table on 8 devices: S=8 scene-sharded,
+    S=2 -> 2D (2 scenes x 4 ray-chips), S=3 -> 2D over 6 chips,
+    S=5 -> scene-sharded over 5 chips; every branch steps finitely."""
+    from s_volsdf_tpu.engine.multiscene import _pick_loop
+
+    cfg, scene, params, tx, scene_dev = setup
+    T = 3
+
+    def step_S(S):
+        run = _pick_loop(cfg, S, use_mvs=False, n_views=3,
+                         img_res=scene.img_res)
+        st = init_train_state(cfg, params, tx)
+        states = jax.tree.map(lambda *xs: jnp.stack(xs), *[st] * S)
+        scenes = jax.tree.map(lambda x: jnp.stack([x] * S), scene_dev)
+        rngs = jnp.stack([jax.random.split(jax.random.PRNGKey(s), T)
+                          for s in range(S)])
+        states, losses = run(states, rngs, scenes, None)
+        losses = np.asarray(losses.loss)
+        assert losses.shape == (S, T) and np.all(np.isfinite(losses))
+        return run
+
+    assert len(jax.devices()) == 8
+    # 64 rays: S=2 -> 4 ray-chips; S=3 -> 2 ray-chips (6/8 devices).
+    for S in (2, 3, 5, 8):
+        step_S(S)
+    # S=2 and S=3 took the 2D path (one_step attribute is only set by
+    # the scene-ray and scan builders).
+    assert hasattr(_pick_loop(cfg, 2, use_mvs=False, n_views=3,
+                              img_res=scene.img_res), "one_step")
+    assert hasattr(_pick_loop(cfg, 3, use_mvs=False, n_views=3,
+                              img_res=scene.img_res), "one_step")
+    assert not hasattr(_pick_loop(cfg, 5, use_mvs=False, n_views=3,
+                                  img_res=scene.img_res), "one_step")
+    assert not hasattr(_pick_loop(cfg, 8, use_mvs=False, n_views=3,
+                                  img_res=scene.img_res), "one_step")
+
+
 def test_sharded_nan_guard(setup):
     """A poisoned batch must leave params bit-identical under shard_map."""
     cfg, scene, params, tx, _ = setup

@@ -104,6 +104,19 @@ class ModelConfig:
 
 
 @dataclass(unsafe_hash=True)
+class PlotConfig:
+    """Surface/plot extraction knobs (reference config/vol/*.yaml `plot`
+    section + `plot.level` read with default 0 at eval_vsdf.py:118,134).
+    `grid_boundary` bounds the marching-cubes grid for BMVS-style
+    high-res meshes and training-time surface traces — the reference
+    uses the configured [-1.5, 1.5], NOT the scene bounding sphere."""
+    plot_nimgs: int = 1
+    resolution: int = 100
+    grid_boundary: Tuple[float, float] = (-1.5, 1.5)
+    level: float = 0.0
+
+
+@dataclass(unsafe_hash=True)
 class LossConfig:
     """VolSDFLoss weights (reference volsdf/model/loss.py:15-28 +
     config/ours.yaml loss overrides)."""
@@ -233,6 +246,7 @@ class Config:
     loss: LossConfig = field(default_factory=LossConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    plot: PlotConfig = field(default_factory=PlotConfig)
     filter: FilterConfig = field(default_factory=FilterConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
 

@@ -36,6 +36,20 @@ from s_volsdf_tpu.utils.metrics import masked_psnr, ssim
 logger = get_logger()
 
 
+def dtu_bbs_lookup(bbs, scan_id: int) -> np.ndarray:
+    """Per-scan DTU bounding box with the reference's fallback remap
+    (eval_vsdf.py:122-128): scan82 uses scan83's box and scans
+    21/34/38 use scan24's. The official bbs.npz keys boxes by
+    str(scan_id); our synthetic fixtures use 'scan{id}' — accept both."""
+    sid = int(scan_id)
+    if sid == 82:
+        sid = 83
+    elif sid in (21, 34, 38):
+        sid = 24
+    key = str(sid) if str(sid) in bbs.files else f"scan{sid}"
+    return bbs[key]
+
+
 def find_checkpoint(expdir: str, checkpoint: str = "latest") -> Optional[str]:
     """Newest timestamped run containing the checkpoint
     (eval_vsdf.py:40-59)."""
@@ -164,17 +178,20 @@ def export_mesh(cfg: Config, scene: SceneData, params, out_path: str, *,
     dev_mesh = eval_mesh(cfg.parallel, 100_000)
 
     if bbs_file and os.path.exists(bbs_file):
-        # DTU per-scan bounding boxes (eval_vsdf.py:121-136).
-        bbs = np.load(bbs_file)
-        grid_params = bbs[f"scan{scene.scan_id}"]
+        grid_params = dtu_bbs_lookup(np.load(bbs_file), scene.scan_id)
         mesh = extract_mesh_by_grid(grid_params, sdf_fn,
-                                    resolution=resolution, higher_res=True,
+                                    resolution=resolution,
+                                    level=cfg.plot.level, higher_res=True,
                                     mesh=dev_mesh)
     else:
+        # BMVS-style high-res extraction uses the configured plot
+        # boundary [-1.5, 1.5], not the scene bounding sphere
+        # (eval_vsdf.py:113-120 reads conf plot.grid_boundary).
         mesh = extract_mesh_high_res(
             sdf_fn, resolution=resolution,
-            grid_boundary=(-cfg.model.scene_bounding_sphere,
-                           cfg.model.scene_bounding_sphere),
+            grid_boundary=tuple(cfg.plot.grid_boundary),
+            level=cfg.plot.level,
+            take_components=not isinstance(scene.scan_id, str),
             mesh=dev_mesh)
     if mesh is None:
         logger.warning("no surface found")

@@ -243,3 +243,63 @@ def test_render_eval_views_all_views_scene(tmp_path):
                                            f"{vid:08d}.pfm"))
     res = eval_rendered_views(cfg, scene, images_dir)
     assert res["n_views"] > 0 and res["psnr_mean"] is not None
+
+
+def test_dtu_bbs_lookup_remap_and_key_formats(tmp_path):
+    """The reference remaps box-less scans (82->83, 21/34/38->24,
+    eval_vsdf.py:122-128) and keys the official bbs.npz by
+    str(scan_id); synthetic fixtures key by 'scan{id}'."""
+    from s_volsdf_tpu.engine.eval_nvs import dtu_bbs_lookup
+
+    box83 = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    box24 = np.array([[-2, -2, -2], [2, 2, 2]], np.float32)
+    official = tmp_path / "bbs.npz"
+    np.savez(official, **{"83": box83, "24": box24, "106": box83 * 3})
+    bbs = np.load(official)
+    np.testing.assert_array_equal(dtu_bbs_lookup(bbs, 82), box83)
+    for sid in (21, 34, 38):
+        np.testing.assert_array_equal(dtu_bbs_lookup(bbs, sid), box24)
+    np.testing.assert_array_equal(dtu_bbs_lookup(bbs, 106), box83 * 3)
+
+    fixture = tmp_path / "bbs_fixture.npz"
+    np.savez(fixture, scan106=box24)
+    np.testing.assert_array_equal(
+        dtu_bbs_lookup(np.load(fixture), 106), box24)
+
+
+def test_export_mesh_uses_plot_grid_boundary(tmp_path):
+    """export_mesh's BMVS path must honor cfg.plot.grid_boundary
+    (reference eval_vsdf.py:113-120 reads conf plot.grid_boundary,
+    NOT the scene bounding sphere). The geometric-init SDF is ~a
+    sphere of radius model.implicit.bias=0.6: a (-0.2, 0.2) boundary
+    excludes the surface entirely -> no mesh; the default (-1.5, 1.5)
+    contains it -> mesh written."""
+    import os
+
+    import jax
+    from s_volsdf_tpu.config import load_config
+    from s_volsdf_tpu.data.fixtures import make_dtu_fixture
+    from s_volsdf_tpu.data.scene_dataset import load_scene
+    from s_volsdf_tpu.engine.eval_nvs import export_mesh
+    from s_volsdf_tpu.models.network import init_volsdf_params
+
+    root = str(tmp_path / "data")
+    make_dtu_fixture(root, scan_id=106, img_res=(32, 48))
+    cfg = load_config("dtu", overrides=[
+        "dataset.img_res=[32,48]", "max_h=32", "max_w=48",
+        "model.implicit.dims=[16,16]", "model.implicit.skip_in=[]",
+        "model.rendering.dims=[16]", "model.feature_vector_size=16",
+    ])
+    scene = load_scene("DTU", (32, 48), 106, 3, root)
+    params = {"sdf": init_volsdf_params(jax.random.PRNGKey(0),
+                                        cfg.model)["sdf"]}
+
+    cfg.plot.grid_boundary = (-0.2, 0.2)
+    out = export_mesh(cfg, scene, params, str(tmp_path / "none.ply"),
+                      resolution=48)
+    assert out is None
+
+    cfg.plot.grid_boundary = (-1.5, 1.5)
+    out = export_mesh(cfg, scene, params, str(tmp_path / "mesh.ply"),
+                      resolution=48)
+    assert out is not None and os.path.getsize(out) > 0

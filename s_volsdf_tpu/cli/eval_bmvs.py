@@ -26,6 +26,8 @@ def main():
     p.add_argument("--crop_min_z", type=float, default=None,
                    help="with --save_gt: also write scan{n}_crop.ply "
                         "keeping points above this ground plane")
+    p.add_argument("-ve", "--visualize_error", action="store_true",
+                   help="write error-colored clouds to <datadir>/result")
     args = p.parse_args()
 
     from s_volsdf_tpu.engine.eval_geo import eval_bmvs_scan, save_bmvs_gt
@@ -49,7 +51,9 @@ def main():
             print(f"scan{scan} MISSING {ply}")
             continue
         r = eval_bmvs_scan(ply, scan, args.data_dir_root,
-                           no_crop=args.no_crop)
+                           no_crop=args.no_crop,
+                           visualize_error=args.visualize_error,
+                           vis_dir=os.path.join(args.datadir, "result"))
         print(f"mvsnet{scan:03d}_l3.ply {r['overall']:.2f}")
         results.append(r["overall"])
     if results:

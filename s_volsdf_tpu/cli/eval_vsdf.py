@@ -25,6 +25,16 @@ def main():
     p.add_argument("--evals_folder", default="exps_result")
     p.add_argument("--data_dir_root", default="data_s_volsdf")
     p.add_argument("--checkpoint", default="latest")
+    p.add_argument("--timestamp", default="latest",
+                   help="specific run-dir timestamp to evaluate")
+    p.add_argument("--ckpt_dir", default="",
+                   help="explicit run dir (containing checkpoints/)")
+    p.add_argument("--split_n_pixels", type=int, default=16384,
+                   help="rays per render chunk (reference flag; the "
+                        "TPU-sized default is 16384, not 512)")
+    p.add_argument("--gpu", default="auto",
+                   help="accepted for reference-CLI compatibility; "
+                        "ignored (JAX owns device selection)")
     p.add_argument("--eval_rendering", action="store_true")
     p.add_argument("--eval_mesh", action="store_true")
     p.add_argument("--result_from", default="None",
@@ -55,7 +65,9 @@ def main():
     all_results = []
     for scan_id in opt.scan_ids:
         expdir = os.path.join(opt.exps_folder, f"{opt.expname}_{scan_id}")
-        ckpt_path = find_checkpoint(expdir, opt.checkpoint)
+        ckpt_path = find_checkpoint(expdir, opt.checkpoint,
+                                    timestamp=opt.timestamp,
+                                    ckpt_dir=opt.ckpt_dir)
         if ckpt_path is None:
             logger.warning(f"no checkpoint for scan{scan_id} in {expdir}")
             continue
@@ -86,7 +98,8 @@ def main():
 
         if opt.eval_rendering:
             if opt.result_from == "None":
-                render_eval_views(cfg, scene, params, images_dir)
+                render_eval_views(cfg, scene, params, images_dir,
+                                  chunk=opt.split_n_pixels)
             else:
                 res = eval_rendered_views(
                     cfg, scene, images_dir, result_from=opt.result_from,

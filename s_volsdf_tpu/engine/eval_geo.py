@@ -63,7 +63,11 @@ def downsample_radius(points: np.ndarray, radius: float = 0.2,
 
 def apply_dtu_crops(points: np.ndarray, obsmask_file: str, patch: float = 60
                     ) -> np.ndarray:
-    """Official DTU ObsMask + bounding box crop (eval_dtu.py:119-132)."""
+    """Official DTU ObsMask + bounding box crop (eval_dtu.py:119-132).
+
+    Returns (kept points, bbox-cropped points, indices of the kept
+    points into `points` — the chain eval_dtu.py:180 uses for error
+    visualization)."""
     from scipy.io import loadmat
     m = loadmat(obsmask_file)
     ObsMask, BB, Res = m["ObsMask"], m["BB"].astype(np.float32), m["Res"]
@@ -75,34 +79,45 @@ def apply_dtu_crops(points: np.ndarray, obsmask_file: str, patch: float = 60
                 & (grid < np.expand_dims(ObsMask.shape, 0))).sum(-1) == 3)
     gi = grid[grid_in]
     in_obs = ObsMask[gi[:, 0], gi[:, 1], gi[:, 2]].astype(bool)
-    return data_in[grid_in][in_obs], data_in
+    kept_idx = np.where(inbound)[0][grid_in][in_obs]
+    return data_in[grid_in][in_obs], data_in, kept_idx
 
 
 def crop_above_plane(points: np.ndarray, plane_file: str) -> np.ndarray:
-    """Keep GT points above the ground plane (eval_dtu.py:149-166)."""
+    """Keep GT points above the ground plane (eval_dtu.py:149-166).
+    Returns (kept points, their indices into `points`)."""
     from scipy.io import loadmat
     P = loadmat(plane_file)["P"]
     hom = np.concatenate([points, np.ones_like(points[:, :1])], -1)
     above = (P.reshape(1, 4) * hom).sum(-1) > 0
-    return points[above]
+    return points[above], np.where(above)[0]
 
 
 def chamfer(data_pcd: np.ndarray, stl_pcd: np.ndarray, *,
             max_dist: float = 20.0, downsample: float = 0.2,
+            patch_size: float = 60.0,
             obsmask_file: Optional[str] = None,
-            plane_file: Optional[str] = None) -> Dict[str, float]:
-    """Chamfer (mm): acc = pred->GT, comp = GT->pred, 20 mm clip."""
+            plane_file: Optional[str] = None,
+            want_detail: bool = False) -> Dict:
+    """Chamfer (mm): acc = pred->GT, comp = GT->pred, 20 mm clip.
+
+    With `want_detail`, the result carries a "detail" dict with the
+    clouds, the evaluated-subset indices, and the raw NN distances —
+    what `write_error_clouds` needs (eval_dtu.py:169-187)."""
     if downsample > 0:
         data_pcd = downsample_radius(data_pcd, downsample)
 
     if obsmask_file is not None and os.path.exists(obsmask_file):
-        data_in_obs, data_in = apply_dtu_crops(data_pcd, obsmask_file)
+        data_in_obs, data_in, data_idx = apply_dtu_crops(
+            data_pcd, obsmask_file, patch=patch_size)
     else:
         data_in_obs = data_in = data_pcd
+        data_idx = np.arange(data_pcd.shape[0])
 
     stl_eval = stl_pcd
+    stl_idx = np.arange(stl_pcd.shape[0])
     if plane_file is not None and os.path.exists(plane_file):
-        stl_eval = crop_above_plane(stl_pcd, plane_file)
+        stl_eval, stl_idx = crop_above_plane(stl_pcd, plane_file)
 
     tree_stl = cKDTree(stl_pcd)
     d2s, _ = tree_stl.query(data_in_obs, k=1, workers=-1)
@@ -112,7 +127,39 @@ def chamfer(data_pcd: np.ndarray, stl_pcd: np.ndarray, *,
     s2d, _ = tree_data.query(stl_eval, k=1, workers=-1)
     comp = float(s2d[s2d < max_dist].mean()) if s2d.size else float("inf")
 
-    return {"acc": acc, "comp": comp, "overall": (acc + comp) / 2.0}
+    res = {"acc": acc, "comp": comp, "overall": (acc + comp) / 2.0}
+    if want_detail:
+        res["detail"] = {"data_pcd": data_pcd, "data_idx": data_idx,
+                         "d2s": d2s, "stl_pcd": stl_pcd,
+                         "stl_idx": stl_idx, "s2d": s2d,
+                         "max_dist": max_dist}
+    return res
+
+
+def write_error_clouds(detail: Dict, d2s_path: str, s2d_path: str,
+                       vis_dist: float = 10.0) -> None:
+    """Error-colored point clouds (eval_dtu.py:169-187,
+    eval_bmvs.py:226-246): evaluated points fade white->red with NN
+    distance (clipped at `vis_dist`), points beyond max_dist are green,
+    points excluded from the statistics stay blue."""
+    from s_volsdf_tpu.data.io import save_ply
+
+    def colorize(cloud, idx, dist):
+        R, G, W = (np.array([c], np.float64) for c in
+                   ([1, 0, 0], [0, 1, 0], [1, 1, 1]))
+        color = np.tile(np.array([[0, 0, 1.0]]), (cloud.shape[0], 1))
+        alpha = (dist.clip(max=vis_dist) / vis_dist)[:, None]
+        color[idx] = R * alpha + W * (1 - alpha)
+        color[idx[dist >= detail["max_dist"]]] = G
+        return (color * 255).astype(np.uint8)
+
+    save_ply(d2s_path, detail["data_pcd"].astype(np.float32),
+             rgb=colorize(detail["data_pcd"], detail["data_idx"],
+                          detail["d2s"]))
+    save_ply(s2d_path, detail["stl_pcd"].astype(np.float32),
+             rgb=colorize(detail["stl_pcd"], detail["stl_idx"],
+                          detail["s2d"]))
+    logger.info(f"error clouds -> {d2s_path}, {s2d_path}")
 
 
 def mesh_to_pcd(ply_path: str, target_density: float = 0.2,
@@ -159,11 +206,16 @@ def _load_mesh(ply_path: str):
 
 
 def eval_dtu_scan(pred_ply: str, scan: int, dataset_dir: str,
-                  mode: str = "pcd", **kwargs) -> Dict[str, float]:
+                  mode: str = "pcd", visualize_error: bool = False,
+                  visualize_threshold: float = 10.0,
+                  vis_dir: Optional[str] = None, **kwargs
+                  ) -> Dict[str, float]:
     """Official DTU protocol for one scan (eval_dtu.py:92-197).
     dataset_dir must hold ObsMask/ObsMask{scan}_10.mat,
     ObsMask/Plane{scan}.mat, Points/stl/stl{scan:03}_total.ply.
-    mode 'mesh' samples the predicted mesh first (eval_dtu.py:62-88)."""
+    mode 'mesh' samples the predicted mesh first (eval_dtu.py:62-88).
+    visualize_error writes vis_{scan:03}_{d2s,s2d}.ply error clouds
+    into vis_dir (eval_dtu.py:169-187)."""
     from s_volsdf_tpu.data.io import load_ply
     if mode == "mesh":
         data_pcd = mesh_to_pcd(pred_ply)
@@ -175,7 +227,14 @@ def eval_dtu_scan(pred_ply: str, scan: int, dataset_dir: str,
     plane_scan = 83 if scan == 82 else scan  # eval_dtu.py:149-152
     plane = os.path.join(dataset_dir, "ObsMask", f"Plane{plane_scan}.mat")
     res = chamfer(data_pcd, stl, obsmask_file=obsmask, plane_file=plane,
-                  **kwargs)
+                  want_detail=visualize_error, **kwargs)
+    if visualize_error:
+        out = vis_dir or os.path.join(os.path.dirname(pred_ply), "result")
+        os.makedirs(out, exist_ok=True)
+        write_error_clouds(res.pop("detail"),
+                           os.path.join(out, f"vis_{scan:03d}_d2s.ply"),
+                           os.path.join(out, f"vis_{scan:03d}_s2d.ply"),
+                           vis_dist=visualize_threshold)
     logger.info(f"scan{scan:03d} acc={res['acc']:.2f} "
                 f"comp={res['comp']:.2f} overall={res['overall']:.2f}")
     return res
@@ -232,9 +291,17 @@ def save_bmvs_gt(scan: int, dataset_dir: str, data_dir_root: str,
 
 
 def eval_bmvs_scan(pred_ply: str, scan: int, data_dir_root: str,
-                   no_crop: bool = False, **kwargs) -> Dict[str, float]:
+                   no_crop: bool = False, visualize_error: bool = False,
+                   vis_dir: Optional[str] = None, **kwargs
+                   ) -> Dict[str, float]:
     """BMVS protocol (eval_bmvs.py:121-251): rescale both clouds by
-    relative_scale, scan-5 scale_mat fix, same chamfer constants."""
+    relative_scale, scan-5 scale_mat fix, same chamfer constants.
+
+    Unlike DTU, the BMVS protocol does NOT thin the prediction — the
+    0.2 'radius' at eval_bmvs.py:192 only parameterizes the sklearn NN
+    engine; there is no greedy downsampling loop — so `downsample`
+    defaults to 0 here. visualize_error writes {scan}_{d2s,s2d}.ply
+    with the reference's fixed vis_dist=10 (eval_bmvs.py:232)."""
     from s_volsdf_tpu.data.io import load_ply
     data_pcd, _ = load_ply(pred_ply)
 
@@ -251,6 +318,15 @@ def eval_bmvs_scan(pred_ply: str, scan: int, data_dir_root: str,
     gt_pcd, _ = load_ply(gt_path)
 
     s = BMVS_RELATIVE_SCALE[scan]
-    res = chamfer(data_pcd / s, gt_pcd / s, **kwargs)
+    kwargs.setdefault("downsample", 0.0)
+    res = chamfer(data_pcd / s, gt_pcd / s,
+                  want_detail=visualize_error, **kwargs)
+    if visualize_error:
+        out = vis_dir or os.path.join(os.path.dirname(pred_ply), "result")
+        os.makedirs(out, exist_ok=True)
+        write_error_clouds(res.pop("detail"),
+                           os.path.join(out, f"{scan}_d2s.ply"),
+                           os.path.join(out, f"{scan}_s2d.ply"),
+                           vis_dist=10.0)
     logger.info(f"bmvs scan{scan} overall={res['overall']:.2f}")
     return res

@@ -50,12 +50,22 @@ def dtu_bbs_lookup(bbs, scan_id: int) -> np.ndarray:
     return bbs[key]
 
 
-def find_checkpoint(expdir: str, checkpoint: str = "latest") -> Optional[str]:
-    """Newest timestamped run containing the checkpoint
-    (eval_vsdf.py:40-59)."""
+def find_checkpoint(expdir: str, checkpoint: str = "latest",
+                    timestamp: str = "latest",
+                    ckpt_dir: str = "") -> Optional[str]:
+    """Checkpoint discovery (eval_vsdf.py:40-93): with `ckpt_dir`, use
+    that run dir directly; with an explicit `timestamp`, look only in
+    that run; otherwise pick the newest timestamped run that actually
+    contains the checkpoint."""
+    if ckpt_dir:
+        path = os.path.join(ckpt_dir, "checkpoints", checkpoint)
+        return path if os.path.exists(os.path.join(path, "state.npz")) \
+            else None
     if not os.path.isdir(expdir):
         return None
-    for ts in sorted(os.listdir(expdir), reverse=True):
+    candidates = sorted(os.listdir(expdir), reverse=True) \
+        if timestamp == "latest" else [timestamp]
+    for ts in candidates:
         path = os.path.join(expdir, ts, "checkpoints", checkpoint)
         if os.path.exists(os.path.join(path, "state.npz")):
             return path
@@ -75,8 +85,8 @@ def load_trained_params(cfg: Config, ckpt_path: str):
 
 
 def render_eval_views(cfg: Config, scene: SceneData, params,
-                      images_dir: str, *, include_train: bool = True
-                      ) -> List[int]:
+                      images_dir: str, *, include_train: bool = True,
+                      chunk: int = 16384) -> List[int]:
     """Render all eval (and optionally train) views and save RGB,
     normal and scaled-depth artifacts (eval_vsdf.py:215-264)."""
     import imageio.v2 as imageio
@@ -92,11 +102,11 @@ def render_eval_views(cfg: Config, scene: SceneData, params,
             scene.data_dir, f"scan{scene.scan_id}", 3)[:3]
 
     from s_volsdf_tpu.parallel.mesh import eval_mesh
-    mesh = eval_mesh(cfg.parallel, 16384)
+    mesh = eval_mesh(cfg.parallel, chunk)
     for vid in test_idx:
         maps = render_image(
             params, cfg.model, scene.poses[vid], scene.intrinsics[vid],
-            scene.img_res, chunk=16384, fast=-1,
+            scene.img_res, chunk=chunk, fast=-1,
             with_background=cfg.model.with_background,
             near_pose=scene.near_pose(vid), mesh=mesh)
         rgb = np.clip(maps["rgb"], 0, 1)

@@ -303,3 +303,86 @@ def test_export_mesh_uses_plot_grid_boundary(tmp_path):
     out = export_mesh(cfg, scene, params, str(tmp_path / "mesh.ply"),
                       resolution=48)
     assert out is not None and os.path.getsize(out) > 0
+
+
+def test_write_error_clouds_coloring(tmp_path):
+    """Error-cloud semantics (eval_dtu.py:169-187): evaluated points
+    fade white->red with distance, >=max_dist points are green,
+    excluded points stay blue."""
+    from s_volsdf_tpu.data.io import load_ply
+    from s_volsdf_tpu.engine.eval_geo import chamfer, write_error_clouds
+
+    gt = np.array([[0, 0, 0], [10, 0, 0]], np.float32)
+    # pred: exact hit, 5mm off (alpha=0.5 at vis_dist=10), 30mm off
+    # (beyond max_dist=20 -> green)
+    pred = np.array([[0, 0, 0], [10, 5, 0], [0, 30, 0]], np.float32)
+    res = chamfer(pred, gt, downsample=0.0, want_detail=True)
+    d2s_ply = str(tmp_path / "d2s.ply")
+    s2d_ply = str(tmp_path / "s2d.ply")
+    write_error_clouds(res["detail"], d2s_ply, s2d_ply, vis_dist=10.0)
+
+    pts, rgb = load_ply(d2s_ply)
+    assert rgb is not None and pts.shape == pred.shape
+    by_pt = {tuple(p): c for p, c in zip(pts.tolist(), rgb.tolist())}
+    assert by_pt[(0.0, 0.0, 0.0)] == [255, 255, 255]   # zero error: white
+    assert by_pt[(0.0, 30.0, 0.0)] == [0, 255, 0]      # clipped: green
+    mid = by_pt[(10.0, 5.0, 0.0)]
+    assert mid[0] == 255 and 100 < mid[1] < 160        # half red
+
+    pts2, rgb2 = load_ply(s2d_ply)
+    assert rgb2 is not None and pts2.shape == gt.shape
+
+
+def test_bmvs_protocol_skips_downsampling(tmp_path, rng_np):
+    """The reference BMVS eval never thins the prediction cloud
+    (eval_bmvs.py:192 uses 0.2 only as the sklearn NN radius param);
+    eval_bmvs_scan must therefore default to downsample=0."""
+    from s_volsdf_tpu.data.io import save_ply
+    from s_volsdf_tpu.engine.eval_geo import (BMVS_RELATIVE_SCALE,
+                                              chamfer, eval_bmvs_scan)
+
+    scan = 4
+    s = BMVS_RELATIVE_SCALE[scan]
+    # A tight cluster (within 0.2mm in rescaled units) of points at
+    # different distances from GT: thinning would keep one arbitrary
+    # member and shift the mean; no thinning averages all of them.
+    base = np.array([[0, 0, 0]], np.float32)
+    cluster = base + rng_np.uniform(0, 0.05 * s, (50, 3)).astype(np.float32)
+    far = np.array([[10 * s, 0, 0]], np.float32)
+    pred = np.concatenate([cluster, far])
+    gt = np.array([[0, 0, 0]], np.float32)
+
+    root = tmp_path / "data"
+    stl_dir = root / "BlendedMVS" / "stl"
+    stl_dir.mkdir(parents=True)
+    save_ply(str(stl_dir / f"scan{scan}.ply"), gt)
+    pred_ply = str(tmp_path / f"mvsnet{scan:03d}_l3.ply")
+    save_ply(pred_ply, pred)
+
+    r = eval_bmvs_scan(pred_ply, scan, str(root), no_crop=True)
+    expect = chamfer(pred / s, gt / s, downsample=0.0)
+    assert r["acc"] == pytest.approx(expect["acc"], rel=1e-6)
+    assert r["comp"] == pytest.approx(expect["comp"], rel=1e-6)
+
+
+def test_find_checkpoint_timestamp_and_ckpt_dir(tmp_path):
+    """Discovery options (eval_vsdf.py:40-93): explicit timestamp and
+    explicit ckpt_dir override the newest-run scan."""
+    from s_volsdf_tpu.engine.eval_nvs import find_checkpoint
+
+    expdir = tmp_path / "exps" / "ours_106"
+    for ts in ("2024_01_01", "2024_06_01"):
+        d = expdir / ts / "checkpoints" / "latest"
+        d.mkdir(parents=True)
+        (d / "state.npz").write_bytes(b"x")
+    # empty newer run: must be skipped by the 'latest' scan
+    (expdir / "2024_12_31" / "checkpoints").mkdir(parents=True)
+
+    got = find_checkpoint(str(expdir))
+    assert got is not None and "2024_06_01" in got
+    got = find_checkpoint(str(expdir), timestamp="2024_01_01")
+    assert got is not None and "2024_01_01" in got
+    assert find_checkpoint(str(expdir), timestamp="2099_01_01") is None
+    run_dir = str(expdir / "2024_01_01")
+    got = find_checkpoint("ignored", ckpt_dir=run_dir)
+    assert got is not None and got.startswith(run_dir)

@@ -142,18 +142,18 @@ def load_ply(filename: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         fmt = f.readline().strip().split()[1]
         n = 0
         props = []
+        in_vertex = False   # currently inside the vertex element block
         while True:
             line = f.readline().strip()
             if line.startswith(b"element vertex"):
                 n = int(line.split()[-1])
-            elif line.startswith(b"property") and n > 0:
+                in_vertex = True
+            elif line.startswith(b"property") and in_vertex:
                 props.append(line.split()[1:])
             elif line == b"end_header":
                 break
             elif line.startswith(b"element"):
-                n = -abs(n)  # stop collecting vertex props
-        props = props if n > 0 else props
-        n = abs(n)
+                in_vertex = False  # stop collecting vertex props
         type_map = {b"float": "<f4", b"float32": "<f4", b"double": "<f8",
                     b"uchar": "u1", b"uint8": "u1", b"int": "<i4"}
         if fmt == b"ascii":

@@ -122,3 +122,13 @@ def test_validate_config_catches_bad_invariants():
     bad3 = load_config("bmvs", overrides=["mvs.interval_scale=1.06"])
     with pytest.raises(AssertionError):
         validate_config(bad3)
+
+
+def test_load_ply_empty_cloud(tmp_path):
+    """A 0-vertex PLY (fusion can legitimately keep nothing) must
+    round-trip to an empty (0,3) array, not crash the reader."""
+    from s_volsdf_tpu.data.io import load_ply, save_ply
+    p = str(tmp_path / "empty.ply")
+    save_ply(p, np.zeros((0, 3), np.float32))
+    xyz, rgb = load_ply(p)
+    assert xyz.shape == (0, 3) and rgb is None

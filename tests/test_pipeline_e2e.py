@@ -90,3 +90,23 @@ def test_checkpoint_written(pipeline_run):
     assert runs
     ck = os.path.join(exp, sorted(runs)[-1], "checkpoints", "latest")
     assert os.path.exists(os.path.join(ck, "state.npz"))
+
+
+def test_filter_only_refilter(pipeline_run):
+    """filter_only mode (reference config/base.yaml:54, runner.py
+    __main__): re-fuse already-inferred depths with different filter
+    parameters without re-running MVS/VolSDF. A stricter confidence
+    threshold must keep a subset of the default fusion's points."""
+    import dataclasses
+    root, cfg, plys = pipeline_run
+    n_default = load_ply(plys[0])[0].shape[0]
+
+    cfg2 = dataclasses.replace(cfg)
+    cfg2.filter = dataclasses.replace(cfg.filter)
+    cfg2.filter_only = True
+    cfg2.filter.filter_dist = 0.5   # stricter reprojection gate (px)
+    from s_volsdf_tpu.engine.runner import pcd_filter
+    plys2 = pcd_filter(cfg2, ["scan106"], exps_root=root)
+    assert plys2 and os.path.exists(plys2[0])
+    n_strict = load_ply(plys2[0])[0].shape[0]
+    assert 0 < n_strict <= n_default, (n_strict, n_default)

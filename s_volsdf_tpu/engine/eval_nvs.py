@@ -154,7 +154,11 @@ def eval_rendered_views(cfg: Config, scene: SceneData, images_dir: str,
         # Foreground compositing for SSIM/LPIPS (eval_vsdf.py:202-204).
         gt_fg = (gt * mask + (1 - mask)).reshape(H, W, 3)
         pred_fg = (pred * mask + (1 - mask)).reshape(H, W, 3)
-        ssims.append(ssim(pred_fg, gt_fg))
+        # data_range=2.0: the reference calls structural_similarity on
+        # float images with no data_range (eval_vsdf.py:207); its
+        # pinned scikit-image 0.17.2 then uses the float dtype range
+        # (-1, 1) -> 2.0. Required to reproduce the published SSIMs.
+        ssims.append(ssim(pred_fg, gt_fg, data_range=2.0))
         if lpips_params is not None:
             from s_volsdf_tpu.models.lpips import lpips_distance
             d = lpips_distance(lpips_params, jnp.asarray(pred_fg)[None],

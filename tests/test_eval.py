@@ -386,3 +386,22 @@ def test_find_checkpoint_timestamp_and_ckpt_dir(tmp_path):
     run_dir = str(expdir / "2024_01_01")
     got = find_checkpoint("ignored", ckpt_dir=run_dir)
     assert got is not None and got.startswith(run_dir)
+
+
+def test_ssim_data_range_two_matches_reference_semantics():
+    """The reference's eval calls skimage 0.17.2 structural_similarity
+    with float input and NO data_range, which resolves to the float
+    dtype range (-1,1) -> data_range=2.0 (eval_vsdf.py:207 +
+    requirements.txt:18). Closed form for constant images with c_i
+    scaled by (k_i * 2)^2."""
+    a = np.full((32, 32), 0.4)
+    b = np.full((32, 32), 0.6)
+    c1 = (0.01 * 2.0) ** 2
+    expected = (2 * 0.4 * 0.6 + c1) / (0.4 ** 2 + 0.6 ** 2 + c1)
+    assert abs(ssim(a, b, data_range=2.0) - expected) < 1e-6
+    # and on structured images the range choice genuinely moves the
+    # score (c2 enters the contrast/structure term)
+    rng = np.random.default_rng(0)
+    x = rng.random((48, 64))
+    y = np.clip(x + 0.2 * rng.standard_normal(x.shape), 0, 1)
+    assert abs(ssim(x, y, data_range=2.0) - ssim(x, y)) > 1e-3

@@ -107,9 +107,12 @@ class ModelConfig:
 class PlotConfig:
     """Surface/plot extraction knobs (reference config/vol/*.yaml `plot`
     section + `plot.level` read with default 0 at eval_vsdf.py:118,134).
-    `grid_boundary` bounds the marching-cubes grid for BMVS-style
-    high-res meshes and training-time surface traces — the reference
-    uses the configured [-1.5, 1.5], NOT the scene bounding sphere."""
+    `grid_boundary`/`level` feed mesh export (engine/eval_nvs.py) — the
+    reference uses the configured [-1.5, 1.5] there, NOT the scene
+    bounding sphere. `plot_nimgs`/`resolution` are carried for config
+    parity with the reference's training-plot path (its stacked_plot
+    takes them; our training plots are fixed-size render panels that
+    don't extract surfaces, so nothing consumes them yet)."""
     plot_nimgs: int = 1
     resolution: int = 100
     grid_boundary: Tuple[float, float] = (-1.5, 1.5)

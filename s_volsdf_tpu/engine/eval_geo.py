@@ -15,7 +15,7 @@ changes the numbers):
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree
@@ -62,7 +62,7 @@ def downsample_radius(points: np.ndarray, radius: float = 0.2,
 
 
 def apply_dtu_crops(points: np.ndarray, obsmask_file: str, patch: float = 60
-                    ) -> np.ndarray:
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Official DTU ObsMask + bounding box crop (eval_dtu.py:119-132).
 
     Returns (kept points, bbox-cropped points, indices of the kept
@@ -83,7 +83,8 @@ def apply_dtu_crops(points: np.ndarray, obsmask_file: str, patch: float = 60
     return data_in[grid_in][in_obs], data_in, kept_idx
 
 
-def crop_above_plane(points: np.ndarray, plane_file: str) -> np.ndarray:
+def crop_above_plane(points: np.ndarray, plane_file: str
+                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Keep GT points above the ground plane (eval_dtu.py:149-166).
     Returns (kept points, their indices into `points`)."""
     from scipy.io import loadmat

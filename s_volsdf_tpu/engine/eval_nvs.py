@@ -201,11 +201,13 @@ def export_mesh(cfg: Config, scene: SceneData, params, out_path: str, *,
         # BMVS-style high-res extraction uses the configured plot
         # boundary [-1.5, 1.5], not the scene bounding sphere
         # (eval_vsdf.py:113-120 reads conf plot.grid_boundary).
+        # (the reference's take_components=False branch applies only to
+        # string scan ids, which this pipeline never produces —
+        # SceneData.scan_id is an int everywhere)
         mesh = extract_mesh_high_res(
             sdf_fn, resolution=resolution,
             grid_boundary=tuple(cfg.plot.grid_boundary),
             level=cfg.plot.level,
-            take_components=not isinstance(scene.scan_id, str),
             mesh=dev_mesh)
     if mesh is None:
         logger.warning("no surface found")

@@ -97,16 +97,45 @@ def test_filter_only_refilter(pipeline_run):
     __main__): re-fuse already-inferred depths with different filter
     parameters without re-running MVS/VolSDF. A stricter confidence
     threshold must keep a subset of the default fusion's points."""
-    import dataclasses
     root, cfg, plys = pipeline_run
     n_default = load_ply(plys[0])[0].shape[0]
 
-    cfg2 = dataclasses.replace(cfg)
-    cfg2.filter = dataclasses.replace(cfg.filter)
-    cfg2.filter_only = True
-    cfg2.filter.filter_dist = 0.5   # stricter reprojection gate (px)
-    from s_volsdf_tpu.engine.runner import pcd_filter
-    plys2 = pcd_filter(cfg2, ["scan106"], exps_root=root)
-    assert plys2 and os.path.exists(plys2[0])
-    n_strict = load_ply(plys2[0])[0].shape[0]
+    # Distinct outdir (symlinked to the existing depths) so the
+    # re-fusion never overwrites the module fixture's PLY, and drive
+    # the REAL dispatch: cli/run.py must skip save_depth when
+    # filter_only=true and still run fusion.
+    os.makedirs(os.path.join(root, "exps_refilter"), exist_ok=True)
+    link = os.path.join(root, "exps_refilter", "scan106")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(root, "exps_mvs", "scan106"), link)
+
+    import contextlib
+    from s_volsdf_tpu.cli import run as run_cli
+
+    @contextlib.contextmanager
+    def chdir(d):
+        old = os.getcwd()
+        os.chdir(d)
+        try:
+            yield
+        finally:
+            os.chdir(old)
+
+    with chdir(root):
+        run_cli.main([
+            "testlist=scan106", "filter_only=true",
+            "outdir=exps_refilter",
+            "data_dir_root=" + os.path.join(root, "data"),
+            "dataset.data_dir_root=" + os.path.join(root, "data"),
+            "max_h=64", "max_w=96", "dataset.img_res=[64,96]",
+            "mvs.ndepths=[16,8,8]", "mvs.numdepth=16",
+            "filter.eval_mask=false",
+            "filter.filter_dist=0.5",   # stricter reprojection gate (px)
+        ])
+
+    ply2 = os.path.join(root, "exps_refilter", "mvsnet106_l3.ply")
+    assert os.path.exists(ply2)
+    n_strict = load_ply(ply2)[0].shape[0]
     assert 0 < n_strict <= n_default, (n_strict, n_default)
+    # the module fixture's default fusion is untouched
+    assert load_ply(plys[0])[0].shape[0] == n_default

@@ -10,8 +10,12 @@ import sys
 
 
 def main(argv):
-    overrides = dict(o.split("=", 1) for o in argv if "=" in o)
-    preset = overrides.pop("preset", "dtu")
+    # '+key=value' hydra append syntax and the reference's 'vol=bmvs'
+    # group selection both work (reference config/logs.yaml usage:
+    # `python simple_ibr.py vol=bmvs ... +evals_folder=exps_result`).
+    overrides = {k.lstrip("+"): v
+                 for k, v in (o.split("=", 1) for o in argv if "=" in o)}
+    preset = overrides.pop("preset", overrides.pop("vol", "dtu"))
     evals_folder = overrides.pop("evals_folder", "exps_result")
 
     from s_volsdf_tpu.config import load_config

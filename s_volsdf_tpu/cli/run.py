@@ -22,8 +22,12 @@ def parse_testlist(testlist):
 
 def main(argv):
     overrides = [a for a in argv if "=" in a]
-    extra = {k: v for k, v in (o.split("=", 1) for o in overrides)}
-    preset = extra.pop("preset", "dtu")
+    # hydra-CLI compatibility: '+key=value' (append syntax) works like
+    # 'key=value', and the reference's 'vol=bmvs' group selection maps
+    # to our preset (reference config/logs.yaml usage).
+    extra = {k.lstrip("+"): v
+             for k, v in (o.split("=", 1) for o in overrides)}
+    preset = extra.pop("preset", extra.pop("vol", "dtu"))
     create_scene = extra.pop("create_scene", "false").lower() in (
         "1", "true", "yes")
     multiscene = extra.pop("multiscene", "false").lower() in (

@@ -65,3 +65,33 @@ def test_our_cli_builds():
     import importlib
     for mod in ("eval_vsdf", "eval_dtu", "eval_bmvs", "ibr", "run"):
         importlib.import_module(f"s_volsdf_tpu.cli.{mod}")
+
+
+def test_run_cli_hydra_compat_parsing():
+    """The pipeline CLI accepts the reference's hydra spellings:
+    '+key=value' append syntax and 'vol=bmvs' group selection
+    (reference config/logs.yaml commands)."""
+    from s_volsdf_tpu.cli import run as run_cli
+
+    captured = {}
+
+    def fake_load_config(preset, overrides=None, **kw):
+        captured["preset"] = preset
+        captured["overrides"] = overrides
+        raise RuntimeError("stop-after-parse")
+
+    import s_volsdf_tpu.config as config_mod
+    orig = config_mod.load_config
+    config_mod.load_config = fake_load_config
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="stop-after-parse"):
+            run_cli.main(["vol=bmvs", "testlist=scan4",
+                          "+create_scene=true", "+outdir=exps_ibr"])
+    finally:
+        config_mod.load_config = orig
+    assert captured["preset"] == "bmvs"
+    assert "outdir=exps_ibr" in captured["overrides"]
+    # create_scene was consumed as a mode flag, not an override
+    assert not any(o.startswith("create_scene")
+                   for o in captured["overrides"])

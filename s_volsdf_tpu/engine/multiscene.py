@@ -66,8 +66,15 @@ def _pick_loop(cfg: Config, S: int, *, use_mvs: bool, n_views: int,
                img_res):
     """Pick the widest topology the device count admits: scenes over
     the whole mesh when S divides it; a 2D (scene x rays) mesh when
-    there are spare chips per scene (S < n_dev) and the per-scene ray
-    batch splits across them; else one-chip vmap."""
+    there are spare chips per scene (S < n_dev), the per-scene ray
+    batch splits across them, AND ray sharding is enabled; else
+    one-chip vmap.
+
+    cfg.parallel.shard_rays=false pins each scene's rays to one chip:
+    the ray-sharded step folds the RNG per chip, so its pixel draw —
+    and therefore the whole trajectory — differs from the single-chip
+    loop. Disabling it keeps multiscene trajectories comparable to
+    serial single-chip runs (test_multiscene_pipeline.py)."""
     n_dev = len(jax.devices())
     if n_dev > 1 and S % n_dev == 0:
         from s_volsdf_tpu.parallel.mesh import make_mesh
@@ -80,7 +87,8 @@ def _pick_loop(cfg: Config, S: int, *, use_mvs: bool, n_views: int,
             cfg, make_optimizer(cfg), mesh, use_mvs=use_mvs,
             n_views=n_views, img_res=img_res)
     ray_chips = n_dev // S if S < n_dev else 0
-    if ray_chips > 1 and cfg.train.num_pixels % ray_chips == 0:
+    if (cfg.parallel.shard_rays and ray_chips > 1
+            and cfg.train.num_pixels % ray_chips == 0):
         from s_volsdf_tpu.parallel.mesh import make_mesh
         from s_volsdf_tpu.parallel.train_parallel import (
             make_sharded_scene_ray_train_fn)

@@ -261,6 +261,12 @@ def make_sharded_multiscene_train_fn(cfg: Config, tx, mesh: Mesh, *,
         # Per-scene pack, OUTSIDE the jit (parameters, not loop temps).
         if isinstance(mvs, MVSVolumes):
             mvs = jax.vmap(lambda m: pack_for_chunk(cfg, m))(mvs)
+        if mvs is not None:
+            # Commit to THIS mesh: cascade outputs can arrive committed
+            # to the eval view mesh (or a sub-mesh when S < n_devices);
+            # jit refuses cross-mesh arguments.
+            from jax.sharding import NamedSharding
+            mvs = jax.device_put(mvs, NamedSharding(mesh, spec))
         return _run(states, rngs, scenes, mvs)
 
     return run_chunk

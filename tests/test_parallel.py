@@ -268,6 +268,14 @@ def test_pick_loop_widens_small_scene_counts(setup):
                                   img_res=scene.img_res), "one_step")
     assert not hasattr(_pick_loop(cfg, 8, use_mvs=False, n_views=3,
                                   img_res=scene.img_res), "one_step")
+    # shard_rays=false pins every scene's rays to one chip: the 2D
+    # widening must NOT trigger (per-chip rng folds would change the
+    # trajectory vs serial — engine/multiscene.py:_pick_loop).
+    import dataclasses
+    cfg_ns = dataclasses.replace(cfg)
+    cfg_ns.parallel = dataclasses.replace(cfg.parallel, shard_rays=False)
+    assert not hasattr(_pick_loop(cfg_ns, 2, use_mvs=False, n_views=3,
+                                  img_res=scene.img_res), "one_step")
 
 
 def test_sharded_nan_guard(setup):

@@ -192,10 +192,11 @@ def test_downsample_radius_chunked_matches_oneshot():
 
     rng = np.random.default_rng(5)
     pts = rng.random((4000, 3)).astype(np.float32) * 10
+    # native=False: chunking only exists on the scipy fallback path
     a = downsample_radius(pts, radius=0.4, rng=np.random.default_rng(1),
-                          chunk=10_000_000)   # one-shot
+                          chunk=10_000_000, native=False)   # one-shot
     b = downsample_radius(pts, radius=0.4, rng=np.random.default_rng(1),
-                          chunk=257)          # many tiny chunks
+                          chunk=257, native=False)  # many tiny chunks
     np.testing.assert_array_equal(a, b)
     # Kept points are pairwise > radius apart.
     from scipy.spatial import cKDTree
@@ -405,3 +406,21 @@ def test_ssim_data_range_two_matches_reference_semantics():
     x = rng.random((48, 64))
     y = np.clip(x + 0.2 * rng.standard_normal(x.shape), 0, 1)
     assert abs(ssim(x, y, data_range=2.0) - ssim(x, y)) > 1e-3
+
+
+def test_downsample_native_matches_python():
+    """The native grid-hash downsample (native/downsample.cpp) must
+    reproduce the scipy greedy loop bit-for-bit, in both float32 and
+    float64 (BMVS-rescaled) inputs, including duplicate points."""
+    from s_volsdf_tpu.engine.eval_geo import (_load_native_downsample,
+                                              downsample_radius)
+    if _load_native_downsample() is None:
+        pytest.skip("native downsample unavailable")
+
+    rng = np.random.default_rng(11)
+    pts = (rng.standard_normal((30000, 3)) * 5).astype(np.float32)
+    pts[1000:1100] = pts[0]          # exact duplicates
+    for arr in (pts, (pts.astype(np.float64) / 0.0015)):
+        a = downsample_radius(arr, 0.3, native=True)
+        b = downsample_radius(arr, 0.3, native=False)
+        np.testing.assert_array_equal(a, b)

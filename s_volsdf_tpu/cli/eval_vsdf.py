@@ -58,6 +58,12 @@ def main():
         opt.scan_ids = ([21, 24, 34, 37, 38, 40, 82, 106, 110, 114, 118]
                         if opt.conf == "dtu" else list(range(1, 10)))
 
+    # --ckpt_dir names ONE run dir; applying it to a scan list would
+    # silently evaluate every scan against the same weights.
+    if opt.ckpt_dir and len(opt.scan_ids) != 1:
+        p.error(f"--ckpt_dir points at a single run dir; pass exactly "
+                f"one --scan_ids with it (got {len(opt.scan_ids)} scans)")
+
     cfg = load_config(opt.conf, overrides=list(opt.override))
     cfg.data_dir_root = opt.data_dir_root
     cfg.dataset.data_dir_root = opt.data_dir_root

@@ -219,9 +219,14 @@ class ParallelConfig:
     mesh_shape: Tuple[int, ...] = (-1,)   # -1 => all local devices
     mesh_axes: Tuple[str, ...] = ("rays",)
     shard_rays: bool = True
-    # shard full-image eval/feedback renders over the same mesh
-    # (embarrassingly parallel; engine/render.py:_shard_inputs)
+    # shard full-image eval/feedback renders and SDF grid evals over
+    # the same mesh (embarrassingly parallel;
+    # engine/render.py:_shard_inputs, engine/mesh.py:eval_sdf_grid)
     shard_eval: bool = True
+    # one-view-per-device MVS cascade dispatch
+    # (engine/runner.py:_view_mesh). None => follow shard_eval; set
+    # explicitly to split render sharding from cascade sharding.
+    shard_mvs_views: Optional[bool] = None
 
 
 @dataclass(unsafe_hash=True)
@@ -307,6 +312,10 @@ _PRESETS = {"dtu": dtu_config, "bmvs": bmvs_config, "default": Config}
 
 def _coerce(value: str, current: Any) -> Any:
     """Parse a CLI string into the type of the existing field value."""
+    if current is None:
+        # Optional fields (e.g. parallel.shard_mvs_views): YAML rules,
+        # so "true"/"false"/"null"/numbers all parse sensibly.
+        return yaml.safe_load(value)
     if isinstance(current, bool):
         return value.lower() in ("1", "true", "yes", "on")
     if isinstance(current, int):
@@ -328,6 +337,13 @@ def apply_override(cfg: Any, dotted_key: str, value: str) -> None:
     for p in parts[:-1]:
         obj = getattr(obj, p)
     current = getattr(obj, parts[-1])
+    # Optional fields (declared default None) coerce by YAML rules
+    # regardless of the value they currently hold, so "null" can
+    # always reset them.
+    fld = next((f for f in dataclasses.fields(obj)
+                if f.name == parts[-1]), None)
+    if fld is not None and fld.default is None:
+        current = None
     setattr(obj, parts[-1], _coerce(value, current))
 
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -26,8 +25,6 @@ from s_volsdf_tpu.utils.logging import get_logger
 
 logger = get_logger()
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
 _DS_LIB = None
 _DS_FAILED = False
 
@@ -36,15 +33,9 @@ def _load_native_downsample():
     global _DS_LIB, _DS_FAILED
     if _DS_LIB is not None or _DS_FAILED:
         return _DS_LIB
-    so_path = os.path.join(_NATIVE_DIR, "libdownsample.so")
-    src = os.path.join(_NATIVE_DIR, "downsample.cpp")
     try:
-        if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so_path],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(so_path)
+        from s_volsdf_tpu.native.build import build_native
+        lib = ctypes.CDLL(build_native("libdownsample.so", "downsample.cpp"))
         lib.radius_downsample.restype = None
         lib.radius_downsample.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -24,8 +23,6 @@ from s_volsdf_tpu.utils.logging import get_logger
 
 logger = get_logger()
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
 _LIB = None
 _LIB_FAILED = False
 
@@ -34,20 +31,11 @@ def _load_native():
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
-    so_path = os.path.join(_NATIVE_DIR, "libfusion.so")
-    src = os.path.join(_NATIVE_DIR, "fusion.cpp")
     try:
-        if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(src)):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", src,
-                     "-o", so_path], check=True, capture_output=True)
-            except subprocess.CalledProcessError:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", so_path],
-                    check=True, capture_output=True)
-        lib = ctypes.CDLL(so_path)
+        from s_volsdf_tpu.native.build import build_native
+        lib = ctypes.CDLL(build_native(
+            "libfusion.so", "fusion.cpp",
+            extra_flags=["-fopenmp"], fallback_flags=[]))
         dp = ctypes.POINTER(ctypes.c_double)
         lib.geo_consistency.restype = None
         lib.geo_consistency.argtypes = (

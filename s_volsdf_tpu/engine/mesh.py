@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -26,8 +25,6 @@ from s_volsdf_tpu.utils.logging import get_logger
 
 logger = get_logger()
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
 _LIB = None
 _LIB_FAILED = False
 
@@ -43,15 +40,9 @@ def _load_native():
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
-    so_path = os.path.join(_NATIVE_DIR, "libmc.so")
-    src = os.path.join(_NATIVE_DIR, "mc.cpp")
     try:
-        if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so_path],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(so_path)
+        from s_volsdf_tpu.native.build import build_native
+        lib = ctypes.CDLL(build_native("libmc.so", "mc.cpp"))
         lib.mc_run.restype = ctypes.POINTER(_MCResult)
         lib.mc_run.argtypes = [ctypes.POINTER(ctypes.c_float),
                                ctypes.c_int64, ctypes.c_int64,
@@ -231,23 +222,24 @@ def slice_box(verts: np.ndarray, faces: np.ndarray, box_min, box_max):
 # SDF grid evaluation + the two reference mesh pipelines
 # --------------------------------------------------------------------------
 
-_SDF_JIT_CACHE: "weakref.WeakKeyDictionary" = None
+_SDF_JIT_CACHE: tuple = (None, None)  # single slot: (sdf_fn, jitted)
 
 
 def _jit_sdf_fn(sdf_fn: Callable):
     """One jit wrapper per sdf_fn object: extract_mesh_high_res calls
     eval_sdf_grid twice (low + high pass) with the same closure, and
-    a fresh jax.jit each call would recompile both times."""
+    a fresh jax.jit each call would recompile both times.
+
+    Single-slot cache on purpose: the only reuse pattern is repeated
+    calls with the same closure within one mesh export. A map keyed on
+    the closures themselves (even weakly — jax.jit keeps its target
+    alive, so weak keys never die) would pin every scene's parameter
+    pytree and compiled executable for the process lifetime in a
+    multi-scene pipeline."""
     global _SDF_JIT_CACHE
-    import weakref
-    if _SDF_JIT_CACHE is None:
-        _SDF_JIT_CACHE = weakref.WeakKeyDictionary()
-    try:
-        if sdf_fn not in _SDF_JIT_CACHE:
-            _SDF_JIT_CACHE[sdf_fn] = jax.jit(sdf_fn)
-        return _SDF_JIT_CACHE[sdf_fn]
-    except TypeError:  # non-weakrefable callable
-        return jax.jit(sdf_fn)
+    if _SDF_JIT_CACHE[0] is not sdf_fn:
+        _SDF_JIT_CACHE = (sdf_fn, jax.jit(sdf_fn))
+    return _SDF_JIT_CACHE[1]
 
 
 def eval_sdf_grid(sdf_fn: Callable, points: np.ndarray,

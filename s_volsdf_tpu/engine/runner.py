@@ -203,23 +203,42 @@ class MVSEngine:
         """All reference views' stage programs as ONE SPMD dispatch:
         the sample axis is sharded one-view-per-device over `mesh`'s
         'view' axis via shard_map, so each device runs exactly the
-        single-view stage program (identical numerics and per-device
-        memory to `stage`) and the cascade's wall time divides by the
-        view count. New capability vs the single-GPU reference, which
-        loops views serially (/root/reference/runner.py:184-207).
+        single-view stage program and the cascade's wall time divides
+        by the view count. New capability vs the single-GPU reference,
+        which loops views serially (/root/reference/runner.py:184-207).
+
+        Each view's inputs are moved to their target device as they
+        are produced and the stacked operand is assembled shard-by-
+        shard (make_array_from_single_device_arrays), so no device
+        ever holds the all-views pytree: the default device peaks at
+        ~one extra view's inputs in flight, the rest is per-shard —
+        the depth-packed convs are sized for single-view memory.
 
         per_view_inputs: list over reference views of
         (features, proj, depth_values, prev_depth, extra) pytrees with
-        identical structure (all-None prev/extra allowed).
+        identical structure (all-None prev/extra allowed), OR a
+        callable i -> that tuple (preferred: inputs are built lazily
+        one view at a time).
         Returns a list of (outputs, extra) like serial `stage` calls.
         """
         import jax.tree_util as jtu
-        from jax.sharding import PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
         from jax import shard_map
 
-        S = len(per_view_inputs)
-        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs),
-                               *per_view_inputs)
+        devices = list(mesh.devices.flat)
+        S = len(devices)
+        get = (per_view_inputs.__getitem__
+               if not callable(per_view_inputs) else per_view_inputs)
+        placed = [jtu.tree_map(lambda x: jax.device_put(x, devices[i]),
+                               get(i)) for i in range(S)]
+
+        def assemble(*xs):
+            spec = P("view", *([None] * xs[0].ndim))
+            return jax.make_array_from_single_device_arrays(
+                (S,) + xs[0].shape, NamedSharding(mesh, spec),
+                [x[None] for x in xs])
+
+        stacked = jtu.tree_map(assemble, *placed)
         key = ("all_views", stage_idx, bool(inverse_depth),
                tuple(img_hw), S,
                tuple(d.id for d in mesh.devices.flat))
@@ -287,8 +306,15 @@ def _view_mesh(cfg: Config, n_views: int):
     """Mesh for one-view-per-device cascade dispatch
     (MVSEngine.stage_all_views), or None for the serial loop. Requires
     one device per reference view — a partial shard would change
-    per-device memory, which the depth-packed convs are sized for."""
-    if not getattr(cfg.parallel, "shard_eval", False) or n_views <= 1:
+    per-device memory, which the depth-packed convs are sized for.
+
+    Gated by parallel.shard_mvs_views, falling back to shard_eval when
+    unset, so render sharding and cascade sharding can be toggled
+    independently."""
+    on = getattr(cfg.parallel, "shard_mvs_views", None)
+    if on is None:
+        on = getattr(cfg.parallel, "shard_eval", False)
+    if not on or n_views <= 1:
         return None
     if len(jax.devices()) < n_views:
         return None
@@ -327,7 +353,7 @@ def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
     view_mesh = _view_mesh(cfg, img_n) if len(set(hws)) == 1 else None
     if view_mesh is not None:
         results = engine.stage_all_views(
-            stage_idx, [view_inputs(i) for i in range(img_n)], hws[0],
+            stage_idx, view_inputs, hws[0],
             inverse_depth=inv, mesh=view_mesh)
     else:
         # Serial fallback stays lazy: one view's inputs (notably

@@ -43,6 +43,28 @@ def _make_sc(cfg, root):
             "extras": [None] * len(samples)}
 
 
+def test_view_mesh_gating():
+    """shard_mvs_views overrides shard_eval for the cascade dispatch
+    (None inherits shard_eval; render sharding stays independent)."""
+    from s_volsdf_tpu.engine.runner import _view_mesh
+
+    cfg = load_config("dtu")
+    cfg.parallel.shard_eval = True
+    cfg.parallel.shard_mvs_views = None
+    assert _view_mesh(cfg, 3) is not None
+    cfg.parallel.shard_mvs_views = False
+    assert _view_mesh(cfg, 3) is None
+    cfg.parallel.shard_eval = False
+    cfg.parallel.shard_mvs_views = True
+    assert _view_mesh(cfg, 3) is not None
+    # Optional[bool] fields coerce through YAML rules.
+    from s_volsdf_tpu.config import apply_override
+    apply_override(cfg, "parallel.shard_mvs_views", "false")
+    assert cfg.parallel.shard_mvs_views is False
+    apply_override(cfg, "parallel.shard_mvs_views", "null")
+    assert cfg.parallel.shard_mvs_views is None
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("model", ["casmvsnet", "ucsnet", "transmvsnet"])
 def test_stage_all_views_matches_serial(fixture_root, model):

@@ -193,6 +193,7 @@ OUR_EXTRAS = {
     "parallel.mesh_axes",
     "parallel.shard_rays",
     "parallel.shard_eval",
+    "parallel.shard_mvs_views",
     "model.sampler.inverse_sphere_bg",  # reference infers NeRF++ sampling
                                         # from model_class; we make the
                                         # switch explicit

@@ -33,7 +33,13 @@ def main():
     ap.add_argument("--exps", default="/tmp/run100k")
     ap.add_argument("--target", type=int, default=100000)
     ap.add_argument("--crash-at", type=int, default=0,
-                    help="os._exit(17) once iter_step passes this")
+                    help="os._exit(17) once iter_step passes this; NO "
+                         "checkpoint is written at the kill site, so "
+                         "resume genuinely recovers from the last "
+                         "periodic checkpoint")
+    ap.add_argument("--crash-save", action="store_true",
+                    help="also checkpoint right before the simulated "
+                         "kill (weaker evidence; pre-r3 behavior)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--log", default=None)
@@ -138,6 +144,7 @@ def main():
             trainer.state.params["density"]["beta"])))
         rec = {
             "step": step,
+            "n": int(n),
             "loss": round(float(losses.loss[-1]), 5),
             "rgb": round(float(losses.rgb_loss[-1]), 5),
             "eik": round(float(losses.eikonal_loss[-1]), 5),
@@ -156,8 +163,10 @@ def main():
         if step % (args.chunk * 40) < args.chunk:
             trainer.save_checkpoint()
         if args.crash_at and step >= args.crash_at:
-            trainer.save_checkpoint()
-            print(f"simulating hard kill at step {step}", flush=True)
+            if args.crash_save:
+                trainer.save_checkpoint()
+            print(f"simulating hard kill at step {step} "
+                  f"(kill-site checkpoint: {args.crash_save})", flush=True)
             logf.close()
             os._exit(17)
 

@@ -1,9 +1,30 @@
 """Inverse-CDF sampling (the `searchsorted` + gather block of the
 reference sampler, /root/reference/volsdf/model/ray_sampler.py:166-185).
 
-Implemented as a branchless comparison-sum: for each u, the insertion
-index is `sum(cdf <= u)`, an O(K*N) elementwise compare that maps onto
-the TPU VPU far better than a per-row binary search.
+TPU design: `searchsorted` + 4x `take_along_axis` would put four
+random gathers on the LANE dimension in the hot loop — measured
+1.28 ms/step at production shapes (512 rays, 64-from-128), ~10% of the
+whole train step. Because the CDF is non-decreasing, the comparison
+mask `u >= cdf` is a PREFIX-OF-ONES along K for every (ray, quantile),
+so "gather at the insertion index" collapses into masked max/min
+reductions over values — no integer indices, no gathers:
+
+    below = last masked index   -> value = max over masked entries
+    above = first unmasked index -> value = min over unmasked entries
+
+(both `cdf` and `bins` are non-decreasing, so the extremum IS the
+boundary entry). Measured 0.12 ms/step — ~10x — and bit-identical to
+the gather form (tests/test_core_math.py).
+
+PRECONDITIONS (both hold at every call site, models/sampler.py):
+  * cdf non-decreasing per ray with cdf[..., 0] == 0 (pdf_to_cdf
+    output for a non-negative pdf);
+  * bins non-decreasing per ray (sampler z_vals are sorted by
+    construction);
+  * u >= 0.
+Rows whose pdf contains NaN produce all-NaN samples either way
+(pdf_to_cdf's normalization poisons the whole row). For unsorted bins
+use `sample_pdf_from_cdf_gather`.
 """
 
 from __future__ import annotations
@@ -17,12 +38,40 @@ def sample_pdf_from_cdf(bins: jnp.ndarray, cdf: jnp.ndarray,
 
     Args:
       bins: (R, K) sorted sample locations.
-      cdf:  (R, K) CDF with leading zero included (cdf[:, 0] == 0).
-      u:    (R, N) quantiles in [0, 1).
+      cdf:  (R, K) non-decreasing CDF with leading zero (cdf[:, 0] == 0).
+      u:    (R, N) quantiles in [0, 1].
 
     Returns:
       (R, N) samples, linearly interpolated within CDF segments.
     """
+    mask = u[..., :, None] >= cdf[..., None, :]        # prefix-of-ones
+    neg = jnp.asarray(-jnp.inf, cdf.dtype)
+    pos = jnp.asarray(jnp.inf, cdf.dtype)
+    cdf_e = cdf[..., None, :]
+    bins_e = bins[..., None, :]
+    cdf_below = jnp.max(jnp.where(mask, cdf_e, neg), axis=-1)
+    bins_below = jnp.max(jnp.where(mask, bins_e, neg), axis=-1)
+    # `inds == K` (mask all-true, u beyond the last CDF entry) clamps
+    # above to the last entry — same as minimum(inds, K-1) in the
+    # gather form. `inds >= 1` always because cdf[..., 0] == 0 <= u,
+    # so the below-reductions are never empty.
+    cdf_above = jnp.minimum(
+        jnp.min(jnp.where(mask, pos, cdf_e), axis=-1), cdf[..., -1:])
+    bins_above = jnp.minimum(
+        jnp.min(jnp.where(mask, pos, bins_e), axis=-1), bins[..., -1:])
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def sample_pdf_from_cdf_gather(bins: jnp.ndarray, cdf: jnp.ndarray,
+                               u: jnp.ndarray) -> jnp.ndarray:
+    """Literal searchsorted-right + gather form (the reference's exact
+    index semantics, ray_sampler.py:166-185). Works for UNSORTED bins
+    too; kept as the oracle for the masked-reduction fast path and for
+    callers whose bins are not monotone."""
     K = cdf.shape[-1]
     # searchsorted(cdf, u, side='right'): count of cdf entries <= u.
     inds = jnp.sum(u[..., :, None] >= cdf[..., None, :], axis=-1)

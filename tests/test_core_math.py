@@ -107,3 +107,40 @@ def test_sample_pdf_concentrates_on_peak():
     # Peak bin is [0.5, 0.53125]; nearly all samples land inside.
     frac = np.mean((np.asarray(s) >= 0.49) & (np.asarray(s) <= 0.54))
     assert frac > 0.95
+
+
+def test_sample_pdf_masked_matches_gather_exactly():
+    """The masked-reduction fast path is BIT-identical to the literal
+    searchsorted+gather form (the reference's index semantics) on
+    sorted bins — random CDFs, flat tie segments, and edge quantiles
+    u=0 / u=1."""
+    from s_volsdf_tpu.ops.inverse_cdf import sample_pdf_from_cdf_gather
+
+    R, K, N = 64, 128, 48
+    key = jax.random.PRNGKey(7)
+    kz, kp, ku = jax.random.split(key, 3)
+    bins = jnp.sort(jax.random.uniform(kz, (R, K), minval=0.5, maxval=4.0),
+                    axis=-1)
+    u = jax.random.uniform(ku, (R, N))
+    u = u.at[:, 0].set(0.0).at[:, 1].set(1.0)
+
+    # random pdf
+    cdf = pdf_to_cdf(jax.random.uniform(kp, (R, K - 1)) + 1e-5)
+    a = np.asarray(sample_pdf_from_cdf_gather(bins, cdf, u))
+    b = np.asarray(sample_pdf_from_cdf(bins, cdf, u))
+    assert np.array_equal(a, b)
+
+    # flat tie segments in the cdf (zero-mass bins)
+    pdf = jnp.zeros((R, K - 1)).at[:, 40:].set(1.0) + 1e-12
+    cdf = pdf_to_cdf(pdf)
+    a = np.asarray(sample_pdf_from_cdf_gather(bins, cdf, u))
+    b = np.asarray(sample_pdf_from_cdf(bins, cdf, u))
+    assert np.array_equal(a, b)
+
+    # a NaN pdf row poisons that row's samples in BOTH forms
+    pdf = jax.random.uniform(kp, (R, K - 1)).at[3, 5].set(jnp.nan) + 1e-5
+    cdf = pdf_to_cdf(pdf)
+    a = np.asarray(sample_pdf_from_cdf_gather(bins, cdf, u))
+    b = np.asarray(sample_pdf_from_cdf(bins, cdf, u))
+    assert np.all(np.isnan(a[3])) and np.all(np.isnan(b[3]))
+    assert np.array_equal(np.delete(a, 3, 0), np.delete(b, 3, 0))

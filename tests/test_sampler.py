@@ -170,3 +170,33 @@ def test_inverse_cdf_ascending_u_gives_sorted_samples():
     u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N), (R, N))
     s = np.asarray(sample_pdf_from_cdf(jnp.asarray(bins), cdf, u))
     assert np.all(np.diff(s, axis=-1) >= 0)
+
+
+def test_sampler_masked_invcdf_matches_gather_end_to_end(monkeypatch):
+    """The gather-free inverse CDF leaves the FULL sampler bit-identical
+    — train (n_iters=1) and eval (n_iters=5, exercising refine-merge
+    with the masked op at every iteration)."""
+    import s_volsdf_tpu.models.sampler as samp
+    from s_volsdf_tpu.ops.inverse_cdf import sample_pdf_from_cdf_gather
+
+    cfg = RaySamplerConfig()
+    dirs, cam = _rays(R=16)
+    beta0 = jnp.asarray(0.1)
+
+    def run():
+        outs = []
+        for n_iters, training in ((1, True), (5, False)):
+            o = error_bound_sample(
+                jax.random.PRNGKey(3), cfg, dirs, cam, sphere_sdf,
+                beta0, n_iters=n_iters, training=training,
+                scene_bounding_sphere=3.0)
+            outs.append((np.asarray(o.z_vals), np.asarray(o.z_samples_eik)))
+        return outs
+
+    fast = run()
+    monkeypatch.setattr(samp, "sample_pdf_from_cdf",
+                        sample_pdf_from_cdf_gather)
+    ref = run()
+    for (za, ea), (zb, eb) in zip(fast, ref):
+        assert np.array_equal(za, zb)
+        assert np.array_equal(ea, eb)

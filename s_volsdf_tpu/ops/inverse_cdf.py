@@ -45,20 +45,22 @@ def sample_pdf_from_cdf(bins: jnp.ndarray, cdf: jnp.ndarray,
       (R, N) samples, linearly interpolated within CDF segments.
     """
     mask = u[..., :, None] >= cdf[..., None, :]        # prefix-of-ones
-    neg = jnp.asarray(-jnp.inf, cdf.dtype)
-    pos = jnp.asarray(jnp.inf, cdf.dtype)
     cdf_e = cdf[..., None, :]
     bins_e = bins[..., None, :]
-    cdf_below = jnp.max(jnp.where(mask, cdf_e, neg), axis=-1)
-    bins_below = jnp.max(jnp.where(mask, bins_e, neg), axis=-1)
+    cdf_below = jnp.max(
+        jnp.where(mask, cdf_e, jnp.asarray(-jnp.inf, cdf.dtype)), axis=-1)
+    bins_below = jnp.max(
+        jnp.where(mask, bins_e, jnp.asarray(-jnp.inf, bins.dtype)), axis=-1)
     # `inds == K` (mask all-true, u beyond the last CDF entry) clamps
     # above to the last entry — same as minimum(inds, K-1) in the
     # gather form. `inds >= 1` always because cdf[..., 0] == 0 <= u,
     # so the below-reductions are never empty.
     cdf_above = jnp.minimum(
-        jnp.min(jnp.where(mask, pos, cdf_e), axis=-1), cdf[..., -1:])
+        jnp.min(jnp.where(mask, jnp.asarray(jnp.inf, cdf.dtype), cdf_e),
+                axis=-1), cdf[..., -1:])
     bins_above = jnp.minimum(
-        jnp.min(jnp.where(mask, pos, bins_e), axis=-1), bins[..., -1:])
+        jnp.min(jnp.where(mask, jnp.asarray(jnp.inf, bins.dtype), bins_e),
+                axis=-1), bins[..., -1:])
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)

@@ -16,3 +16,17 @@ This package is a ground-up JAX design:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache (utils/compile_cache.py): saves the
+# ~25-35 s per-program compile on every process restart/resume. On by
+# default; S_VOLSDF_COMPILE_CACHE=off disables. Deferred import so the
+# package stays importable without jax installed (pure-IO consumers).
+def _enable_compile_cache():
+    try:
+        from s_volsdf_tpu.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:  # pragma: no cover - never block import on cache setup
+        pass
+
+
+_enable_compile_cache()

@@ -15,7 +15,13 @@ def main(argv):
     # `python simple_ibr.py vol=bmvs ... +evals_folder=exps_result`).
     overrides = {k.lstrip("+"): v
                  for k, v in (o.split("=", 1) for o in argv if "=" in o)}
-    preset = overrides.pop("preset", overrides.pop("vol", "dtu"))
+    # Pop 'vol' separately (an eager pop-inside-pop default would
+    # swallow it whenever 'preset=' is also given).
+    vol = overrides.pop("vol", None)
+    preset = overrides.pop("preset", None)
+    if preset and vol and preset != vol:
+        raise SystemExit(f"conflicting preset={preset} and vol={vol}")
+    preset = preset or vol or "dtu"
     evals_folder = overrides.pop("evals_folder", "exps_result")
 
     from s_volsdf_tpu.config import load_config
@@ -32,13 +38,22 @@ def main(argv):
         scan_id = int(scan[4:])
         evaldir = os.path.join(evals_folder,
                                f"{cfg.train.expname}_{scan_id}")
-        epoch = 0
-        for d in os.listdir(evaldir):
-            if d.startswith("rendering_"):
-                epoch = max(epoch, int(d.replace("rendering_", "")))
-        out_folder = os.path.join(evaldir, f"rendering_{epoch}")
+        if not os.path.isdir(evaldir):
+            raise SystemExit(
+                f"{scan}: no eval dir {evaldir} — run the eval renderer "
+                f"(s-volsdf-eval --eval_rendering) first")
+        epochs = [int(d.replace("rendering_", ""))
+                  for d in os.listdir(evaldir) if d.startswith("rendering_")]
+        if not epochs:
+            raise SystemExit(
+                f"{scan}: {evaldir} holds no rendering_<epoch> dirs — run "
+                f"the eval renderer (s-volsdf-eval --eval_rendering) first")
+        out_folder = os.path.join(evaldir, f"rendering_{max(epochs)}")
         scan_folder = os.path.join(cfg.outdir, scan)
-        assert os.path.exists(scan_folder) and os.path.exists(out_folder)
+        if not os.path.isdir(scan_folder):
+            raise SystemExit(
+                f"{scan}: no scene export {scan_folder} — run "
+                f"`s-volsdf create_scene=true` first")
         logger.info(f"IBR {scan}: cams/imgs from {scan_folder}, "
                     f"renders in {out_folder}")
         image_based_render(scan_folder, out_folder,

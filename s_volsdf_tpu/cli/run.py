@@ -27,7 +27,14 @@ def main(argv):
     # to our preset (reference config/logs.yaml usage).
     extra = {k.lstrip("+"): v
              for k, v in (o.split("=", 1) for o in overrides)}
-    preset = extra.pop("preset", extra.pop("vol", "dtu"))
+    # NOTE: pop 'vol' first and separately — the one-liner
+    # extra.pop("preset", extra.pop("vol", ...)) evaluates its default
+    # eagerly, silently swallowing 'vol=' whenever 'preset=' is given.
+    vol = extra.pop("vol", None)
+    preset = extra.pop("preset", None)
+    if preset and vol and preset != vol:
+        raise SystemExit(f"conflicting preset={preset} and vol={vol}")
+    preset = preset or vol or "dtu"
     create_scene = extra.pop("create_scene", "false").lower() in (
         "1", "true", "yes")
     multiscene = extra.pop("multiscene", "false").lower() in (

@@ -262,12 +262,17 @@ def eval_sdf_grid(sdf_fn: Callable, points: np.ndarray,
             shard = NamedSharding(mesh, P(axis))
             place = lambda x: jax.device_put(x, shard)
     n = points.shape[0]
-    n_pad = (-n) % chunk
-    if n_pad:
-        points = np.concatenate(
-            [points, np.zeros((n_pad, 3), points.dtype)], axis=0)
-    outs = [jitted(place(points[i:i + chunk]))
-            for i in range(0, points.shape[0], chunk)]
+    outs = []
+    for i in range(0, n, chunk):
+        block = points[i:i + chunk]
+        if block.shape[0] != chunk:
+            # Pad only the tail chunk — padding by copying the whole
+            # grid would double peak host memory (~1.6 GB at the
+            # 512^3 high-res export) to append <chunk zero rows.
+            block = np.concatenate(
+                [block, np.zeros((chunk - block.shape[0], 3),
+                                 points.dtype)], axis=0)
+        outs.append(jitted(place(block)))
     return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
 
 

@@ -376,16 +376,13 @@ def run_mvs_stage(cfg: Config, engine: "MVSEngine", sc: Dict,
     # pure waste. The fetch doubles as the device sync for the timing
     # log.
     for out in outs:
-        fetched: Dict[int, np.ndarray] = {}
-        for k in ("depth", "photometric_confidence",
-                  f"stage{stage_idx + 1}_confidence"):
-            # stageK_confidence aliases photometric_confidence —
-            # dedupe by buffer identity or the same 2D map crosses
-            # the host link twice (7 MB/view at stage 2).
-            buf = id(out[k])
-            if buf not in fetched:
-                fetched[buf] = np.asarray(out[k])
-            out[k] = fetched[buf]
+        for k in ("depth", "photometric_confidence"):
+            out[k] = np.asarray(out[k])
+        # stageK_confidence IS photometric_confidence (assigned above);
+        # share the fetched array instead of crossing the host link
+        # twice with the same 2D map (7 MB/view at stage 2).
+        out[f"stage{stage_idx + 1}_confidence"] = \
+            out["photometric_confidence"]
     logger.info(f"{sc['name']} stage {stage_idx}: cost volumes in "
                 f"{time.time() - t0:.1f}s")
     return outs, new_extras

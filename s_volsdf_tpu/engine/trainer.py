@@ -250,11 +250,20 @@ class VolTrainer:
     def _build_loop(self, use_mvs: bool):
         """Single-chip scan loop, or the ray-sharded multi-chip variant
         when ParallelConfig asks for it and >1 device is visible. Both
-        share the (state, rngs, scene, mvs) chunk signature."""
-        pcfg = self.cfg.parallel
+        share the (state, rngs, scene, mvs) chunk signature.
+
+        The loop closes over a DEEP-COPIED config snapshot: the cache
+        key is repr(cfg) (a value), so the cached program must also
+        capture a value — Configs are mutated in place
+        (per_scene_overrides, test fixtures), and a closure over the
+        live object could silently diverge from its key on the next
+        re-trace."""
+        import copy
+        cfg = copy.deepcopy(self.cfg)
+        pcfg = cfg.parallel
         n_dev = len(jax.devices())
         if pcfg.shard_rays and n_dev > 1:
-            if self.cfg.train.num_pixels % n_dev == 0:
+            if cfg.train.num_pixels % n_dev == 0:
                 from s_volsdf_tpu.parallel.mesh import make_mesh
                 from s_volsdf_tpu.parallel.train_parallel import (
                     make_sharded_scan_train_fn)
@@ -262,19 +271,19 @@ class VolTrainer:
                 axis = pcfg.mesh_axes[0]
                 logger.info(
                     f"ray-sharded training over {mesh.shape[axis]} "
-                    f"devices ({self.cfg.train.num_pixels} rays/step, "
-                    f"{self.cfg.train.num_pixels // mesh.shape[axis]} "
+                    f"devices ({cfg.train.num_pixels} rays/step, "
+                    f"{cfg.train.num_pixels // mesh.shape[axis]} "
                     f"per chip)")
                 return make_sharded_scan_train_fn(
-                    self.cfg, self.tx, mesh, use_mvs=use_mvs,
+                    cfg, self.tx, mesh, use_mvs=use_mvs,
                     n_views=len(self.trains_i),
                     img_res=self.scene.img_res, axis=axis)
             logger.warning(
                 f"parallel.shard_rays set but train.num_pixels="
-                f"{self.cfg.train.num_pixels} is not divisible by "
+                f"{cfg.train.num_pixels} is not divisible by "
                 f"{n_dev} devices; falling back to single-device loop")
         return make_scan_train_fn(
-            self.cfg, self.tx, use_mvs=use_mvs,
+            cfg, self.tx, use_mvs=use_mvs,
             n_views=len(self.trains_i), img_res=self.scene.img_res)
 
     def run(self, opt_stepN: int, log_every: int = 1000) -> int:

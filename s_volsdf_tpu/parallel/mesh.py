@@ -43,11 +43,17 @@ def eval_mesh(parallel_cfg, chunk: int) -> Optional[Mesh]:
     """Mesh for sharded full-image rendering, or None to stay
     single-device (also when the chunk doesn't divide — rendering
     falls back rather than erroring, unlike training which the user
-    explicitly sized)."""
+    explicitly sized).
+
+    Rendering is embarrassingly parallel over rays, so this is always
+    a FLAT 1D mesh over every visible device — independent of the
+    training mesh topology. Reusing the configured (possibly 2D, e.g.
+    ('scene', 'rays')) training mesh and sharding over its first axis
+    would leave the remaining axes redundantly recomputing identical
+    shards."""
     n_dev = len(jax.devices())
     if not getattr(parallel_cfg, "shard_eval", False) or n_dev <= 1:
         return None
-    mesh = make_mesh(parallel_cfg.mesh_shape, parallel_cfg.mesh_axes)
-    if chunk % mesh.shape[parallel_cfg.mesh_axes[0]] != 0:
+    if chunk % n_dev != 0:
         return None
-    return mesh
+    return make_mesh((-1,), ("rays",))

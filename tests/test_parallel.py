@@ -416,6 +416,13 @@ def test_eval_mesh_helper():
     cfg = tiny_cfg()
     assert eval_mesh(cfg.parallel, 16384) is not None
     assert eval_mesh(cfg.parallel, 13) is None  # 13 % 8 != 0
+    # Always a FLAT mesh over every device: a 2D ('scene','rays')
+    # TRAINING mesh must not leave eval renders sharded over only its
+    # first axis (the other axis' chips would redundantly recompute).
+    cfg.parallel.mesh_shape = (2, 4)
+    cfg.parallel.mesh_axes = ("scene", "rays")
+    m = eval_mesh(cfg.parallel, 16384)
+    assert m is not None and m.devices.size == 8 and len(m.shape) == 1
     cfg.parallel.shard_eval = False
     assert eval_mesh(cfg.parallel, 16384) is None
 

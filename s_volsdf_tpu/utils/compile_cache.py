@@ -23,6 +23,14 @@ Enabled by default at package import. Control via the
 
 Concurrent processes may share one cache directory: JAX writes entries
 via atomic renames, so readers never observe partial files.
+
+Entries live under a per-host CPU-feature fingerprint subdirectory:
+CPU-backend cache entries are AOT-compiled native code, and JAX's cache
+key does NOT include host ISA features — loading an entry compiled on a
+machine with, say, avx512 onto one without it risks SIGILL (JAX warns
+but loads anyway). Fingerprinting keeps a cache directory shared across
+heterogeneous machines (NFS homes, mixed fleets) safe while identical
+hosts/containers still share warm entries.
 """
 
 from __future__ import annotations
@@ -40,6 +48,25 @@ def default_cache_dir() -> str:
     base = os.environ.get("XDG_CACHE_HOME",
                           os.path.join(os.path.expanduser("~"), ".cache"))
     return os.path.join(base, "s_volsdf_tpu", "xla")
+
+
+def _host_fingerprint() -> str:
+    """Arch + CPU-feature digest identifying hosts that may safely
+    share AOT-compiled cache entries (see module docstring)."""
+    import hashlib
+    import platform as _platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                # x86 exposes 'flags', arm64 'Features'.
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(feats.encode()).hexdigest()[:8]
+    return f"{_platform.machine()}-{digest}"
 
 
 def enable_compilation_cache(cache_dir: Optional[str] = None,
@@ -65,6 +92,7 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
             cache_dir = env  # an explicit directory
         else:
             cache_dir = default_cache_dir()
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     if _enabled == (cache_dir, min_compile_seconds):
         return cache_dir
 

@@ -45,6 +45,8 @@ def test_cache_roundtrip_across_processes(tmp_path):
 
     r1 = _run(env, tmp_path)
     assert r1.returncode == 0, r1.stderr
+    # Entries land in a per-host CPU-fingerprint subdir of the given
+    # root (cross-machine AOT-reuse safety).
     assert f"CACHE_DIR {cache}" in r1.stdout
     entries = [p for p in cache.rglob("*") if p.is_file()]
     assert entries, "first process wrote no cache entries"
@@ -58,6 +60,17 @@ def test_cache_roundtrip_across_processes(tmp_path):
     assert len(entries2) == len(entries), (
         "second process recompiled instead of hitting the cache")
     assert "RESULT" in r2.stdout
+
+
+def test_host_fingerprint_stable():
+    """Same host -> same fingerprint (warm restarts share entries);
+    the fingerprint names the arch so foreign-ISA AOT code can never
+    be replayed from a shared cache root."""
+    import platform
+    from s_volsdf_tpu.utils.compile_cache import _host_fingerprint
+    a, b = _host_fingerprint(), _host_fingerprint()
+    assert a == b
+    assert a.startswith(platform.machine() + "-")
 
 
 def test_env_kill_switch(tmp_path):
@@ -75,7 +88,9 @@ def test_explicit_dir_beats_env(tmp_path):
     try:
         cc._enabled = None
         d = cc.enable_compilation_cache(str(tmp_path / "explicit"))
-        assert d == str(tmp_path / "explicit")
+        # Resolved dir = <explicit>/<host fingerprint> (AOT safety).
+        assert d == os.path.join(str(tmp_path / "explicit"),
+                                 cc._host_fingerprint())
         assert os.path.isdir(d)
     finally:
         cc._enabled = None

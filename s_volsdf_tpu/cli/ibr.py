@@ -42,8 +42,13 @@ def main(argv):
             raise SystemExit(
                 f"{scan}: no eval dir {evaldir} — run the eval renderer "
                 f"(s-volsdf-eval --eval_rendering) first")
-        epochs = [int(d.replace("rendering_", ""))
-                  for d in os.listdir(evaldir) if d.startswith("rendering_")]
+        # Only all-digit rendering_<N> DIRECTORIES count: a stray
+        # rendering_tmp entry or a plain file must not crash or win
+        # the latest-epoch scan.
+        epochs = [int(d[len("rendering_"):]) for d in os.listdir(evaldir)
+                  if d.startswith("rendering_")
+                  and d[len("rendering_"):].isdigit()
+                  and os.path.isdir(os.path.join(evaldir, d))]
         if not epochs:
             raise SystemExit(
                 f"{scan}: {evaldir} holds no rendering_<epoch> dirs — run "

@@ -334,6 +334,11 @@ class VolTrainer:
             self.tb.scalar("t/eikonal_loss", losses.eikonal_loss[-1],
                            step_now)
             self.tb.scalar("t/mvs_loss", losses.mvs_loss[-1], step_now)
+            # sparse_loss is the term to watch when debugging the
+            # anneal phase (reference tracks it through its loss dict,
+            # vsdf.py:224-230).
+            self.tb.scalar("t/sparse_loss", losses.sparse_loss[-1],
+                           step_now)
             self.tb.scalar("t/psnr", losses.psnr[-1], step_now)
             beta = float(np.abs(np.asarray(
                 self.state.params["density"]["beta"])))

@@ -52,8 +52,14 @@ def eval_mesh(parallel_cfg, chunk: int) -> Optional[Mesh]:
     would leave the remaining axes redundantly recomputing identical
     shards."""
     n_dev = len(jax.devices())
+    # A mesh_shape the user deliberately sized below the device count
+    # also bounds eval: rendering must not run on devices the training
+    # config excluded (e.g. a host sharing chips between jobs).
+    shape = getattr(parallel_cfg, "mesh_shape", None)
+    if shape and -1 not in shape:
+        n_dev = min(n_dev, int(np.prod(shape)))
     if not getattr(parallel_cfg, "shard_eval", False) or n_dev <= 1:
         return None
     if chunk % n_dev != 0:
         return None
-    return make_mesh((-1,), ("rays",))
+    return make_mesh((-1,), ("rays",), devices=jax.devices()[:n_dev])

@@ -24,13 +24,30 @@ Enabled by default at package import. Control via the
 Concurrent processes may share one cache directory: JAX writes entries
 via atomic renames, so readers never observe partial files.
 
-Entries live under a per-host CPU-feature fingerprint subdirectory:
+Entries live under a per-host compile-target fingerprint subdirectory:
 CPU-backend cache entries are AOT-compiled native code, and JAX's cache
-key does NOT include host ISA features — loading an entry compiled on a
-machine with, say, avx512 onto one without it risks SIGILL (JAX warns
-but loads anyway). Fingerprinting keeps a cache directory shared across
-heterogeneous machines (NFS homes, mixed fleets) safe while identical
-hosts/containers still share warm entries.
+key does NOT include the CPU compile-target config — loading an entry
+compiled on a machine with, say, avx512 onto one without it risks
+SIGILL, and even ISA-identical hosts can differ in LLVM's per-model
+*tuning* features (``+prefer-no-gather``/``+prefer-no-scatter`` are
+chosen from the CPU model, not the flag list), which XLA's AOT loader
+reports as a machine-feature mismatch (JAX warns but loads anyway —
+round 3's MULTICHIP log tail). The fingerprint therefore hashes, for
+any platform set that can resolve to CPU: the requested JAX platforms,
+the CPU model names and the union of feature flags across all cores,
+the jaxlib version, and ``XLA_FLAGS``. Pure-accelerator platform sets
+(``tpu``/``axon``/``cuda`` without ``cpu``) skip the CPU-specific
+parts so hosts with different CPUs driving identical accelerators
+still share warm entries.
+
+Known XLA false positive (measured, round 4): reloading an entry on
+the SAME host that wrote it still logs cpu_aot_loader mismatches for
+``+prefer-no-gather``/``+prefer-no-scatter`` — LLVM tuning preferences
+present in the compile-time feature string but absent from XLA's
+load-time host-capability enumeration. These are harmless (codegen
+merely avoids gather/scatter instructions) and unavoidable by
+namespacing; the driver dryrun filters exactly these and fails on any
+real ISA mismatch (__graft_entry__._fail_on_aot_loader_errors).
 """
 
 from __future__ import annotations
@@ -50,22 +67,51 @@ def default_cache_dir() -> str:
     return os.path.join(base, "s_volsdf_tpu", "xla")
 
 
-def _host_fingerprint() -> str:
-    """Arch + CPU-feature digest identifying hosts that may safely
-    share AOT-compiled cache entries (see module docstring)."""
+def _host_fingerprint(platforms: Optional[str] = None,
+                      cpuinfo_path: str = "/proc/cpuinfo") -> str:
+    """Compile-target digest identifying processes that may safely
+    share AOT-compiled cache entries (see module docstring).
+
+    `platforms`/`cpuinfo_path` exist for tests; live callers read the
+    active `jax.config.jax_platforms` and the real cpuinfo.
+    """
     import hashlib
     import platform as _platform
-    feats = ""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                # x86 exposes 'flags', arm64 'Features'.
-                if line.startswith(("flags", "Features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-    except OSError:
-        pass
-    digest = hashlib.sha256(feats.encode()).hexdigest()[:8]
+    if platforms is None:
+        try:
+            import jax
+            platforms = jax.config.jax_platforms or ""
+        except Exception:
+            platforms = ""
+    plat = platforms.strip().lower() or "auto"
+    # An empty/auto platform set may resolve to the CPU backend, so it
+    # must be treated as CPU-capable; only an explicit accelerator-only
+    # set skips the CPU compile-target parts.
+    cpu_capable = plat == "auto" or "cpu" in plat.split(",")
+    parts = [_platform.machine(), plat]
+    if cpu_capable:
+        models, feats = set(), set()
+        try:
+            with open(cpuinfo_path) as f:
+                for line in f:
+                    # x86 exposes 'flags'/'model name'; arm64
+                    # 'Features'/'CPU part'. Union over ALL cores:
+                    # heterogeneous-core hosts (big.LITTLE) report
+                    # per-core feature sets in enumeration order.
+                    if line.startswith(("flags", "Features")):
+                        feats.update(line.split(":", 1)[1].split())
+                    elif line.startswith(("model name", "CPU part")):
+                        models.add(line.split(":", 1)[1].strip())
+        except OSError:
+            pass
+        try:
+            import jaxlib
+            jl_version = jaxlib.__version__
+        except Exception:
+            jl_version = "unknown"
+        parts += [",".join(sorted(models)), " ".join(sorted(feats)),
+                  jl_version, os.environ.get("XLA_FLAGS", "")]
+    digest = hashlib.sha256("\x1f".join(parts).encode()).hexdigest()[:10]
     return f"{_platform.machine()}-{digest}"
 
 

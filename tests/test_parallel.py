@@ -423,6 +423,13 @@ def test_eval_mesh_helper():
     cfg.parallel.mesh_axes = ("scene", "rays")
     m = eval_mesh(cfg.parallel, 16384)
     assert m is not None and m.devices.size == 8 and len(m.shape) == 1
+    # ... but a mesh_shape deliberately sized BELOW the device count
+    # also bounds eval: no renders on devices the config excluded.
+    cfg.parallel.mesh_shape = (4,)
+    cfg.parallel.mesh_axes = ("rays",)
+    m = eval_mesh(cfg.parallel, 16384)
+    assert m is not None and m.devices.size == 4 and len(m.shape) == 1
+    cfg.parallel.mesh_shape = (-1,)
     cfg.parallel.shard_eval = False
     assert eval_mesh(cfg.parallel, 16384) is None
 

@@ -116,6 +116,100 @@ def make_sphere_scene(n_views: int = 3, img_res=(64, 96),
     )
 
 
+def gt_prob_volume(c2w: np.ndarray, K: np.ndarray, res,
+                   depth_values: np.ndarray, scale_factor: float,
+                   sphere_radius: float = 0.8,
+                   sigma_intervals: float = 1.5,
+                   floor: float = 0.05,
+                   inverse_depth: bool = False,
+                   depth_noise: float = 0.0,
+                   rng: "np.random.Generator | None" = None):
+    """Informative MVS probability volume from the analytic sphere.
+
+    Stands in for a *pretrained* cascade (absent in this env — no
+    checkpoints, no egress): per-pixel Gaussian bumps centered on the
+    scene's ground-truth z-depth over the stage's hypothesis grid,
+    mixed with a uniform floor, exactly the kind of signal a trained
+    CasMVSNet emits (peaked prob_volume + background mass). This is
+    what lets the GCE regularizer (reference loss.py:53-67) train with
+    its confidence gate OPEN at production scale.
+
+    c2w/K: camera in the normalized (unit-sphere) frame, K scaled to
+      `res` (H, W) — the cost-volume stage resolution.
+    depth_values: (D,) metric hypothesis depths (the MVS dataset's).
+      When `inverse_depth`, the grid is re-spaced uniform in 1/z
+      between its endpoints (the stage-0 unbounded-scene variant,
+      reference CasMVSNet.py:538-577), matching cost_mapping's slab
+      normalization.
+    depth_noise: optional per-pixel metric jitter of the bump center
+      (simulates MVS estimation error).
+
+    Returns (prob (D, H, W) float32 normalized over D,
+             hyp (D,) metric hypothesis grid actually used).
+    """
+    H, W = res
+    dvals = np.asarray(depth_values, np.float64)
+    if inverse_depth:
+        dvals = 1.0 / np.linspace(1.0 / dvals[0], 1.0 / dvals[-1],
+                                  len(dvals))
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    x_lift = (xs - K[0, 2]) / K[0, 0]
+    y_lift = (ys - K[1, 2]) / K[1, 1]
+    dirs_cam = np.stack([x_lift, y_lift, np.ones_like(x_lift)], axis=-1)
+    dirs = dirs_cam @ c2w[:3, :3].T
+    dirs_u = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.broadcast_to(c2w[:3, 3], dirs.shape)
+    t = ray_sphere_depth(origins.reshape(-1, 3), dirs_u.reshape(-1, 3),
+                         sphere_radius).reshape(H, W)
+    hit = np.isfinite(t)
+    unit_z = (dirs_cam / np.linalg.norm(dirs_cam, axis=-1,
+                                        keepdims=True))[..., 2]
+    z = np.where(hit, t * unit_z, 0.0) * scale_factor     # metric z-depth
+    if depth_noise > 0.0:
+        rng = rng if rng is not None else np.random.default_rng(0)
+        z = z + rng.normal(0.0, depth_noise, size=z.shape)
+    sigma = sigma_intervals * max(float(np.median(np.abs(np.diff(dvals)))),
+                                  1e-6)
+    gauss = np.exp(-0.5 * ((dvals[:, None, None] - z[None]) / sigma) ** 2)
+    gauss = np.where(hit[None], gauss, 1.0)               # miss -> flat
+    gauss = gauss / np.clip(gauss.sum(axis=0, keepdims=True), 1e-12, None)
+    prob = (1.0 - floor) * gauss + floor / len(dvals)
+    return prob.astype(np.float32), dvals.astype(np.float32)
+
+
+def sphere_radial_error(c2w: np.ndarray, K: np.ndarray, res,
+                        depth_metric: np.ndarray, scale_factor: float,
+                        sphere_radius: float = 0.8):
+    """Geometry error of a rendered z-depth map against the analytic
+    sphere: back-project each GT-hit pixel to a 3D point in the unit
+    frame and measure | ||p|| - r |, returned in METRIC units (the
+    fixture's DTU-like mm frame) as (mean, median, n_pixels).
+
+    This is the synthetic stand-in for the DTU Chamfer protocol
+    (reference evals/eval_dtu.py:140-166): every back-projected point's
+    distance to the GT surface is exactly its radial offset.
+    """
+    H, W = res
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    x_lift = (xs - K[0, 2]) / K[0, 0]
+    y_lift = (ys - K[1, 2]) / K[1, 1]
+    dirs_cam = np.stack([x_lift, y_lift, np.ones_like(x_lift)], axis=-1)
+    dirs = dirs_cam @ c2w[:3, :3].T
+    dirs_u = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.broadcast_to(c2w[:3, 3], dirs.shape)
+    t_gt = ray_sphere_depth(origins.reshape(-1, 3),
+                            dirs_u.reshape(-1, 3),
+                            sphere_radius).reshape(H, W)
+    hit = np.isfinite(t_gt)
+    unit_z = (dirs_cam / np.linalg.norm(dirs_cam, axis=-1,
+                                        keepdims=True))[..., 2]
+    t_pred = (np.asarray(depth_metric) / scale_factor) / unit_z
+    pts = origins + t_pred[..., None] * dirs_u
+    radial = np.abs(np.linalg.norm(pts, axis=-1) - sphere_radius)
+    err = radial[hit] * scale_factor
+    return float(err.mean()), float(np.median(err)), int(hit.sum())
+
+
 def sample_rays(scene: SyntheticScene, rng: np.random.Generator,
                 view_idx: int, n_rays: int):
     """Random pixel batch from one view: (uv, rgb) like the reference's

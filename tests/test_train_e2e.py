@@ -92,6 +92,92 @@ def _train_psnr(cfg, n_steps=60):
     return np.mean(psnrs[-10:])
 
 
+def _gt_volumes(scene, D=32, noise=0.0):
+    """Informative MVSVolumes from the analytic sphere (unit frame)."""
+    from s_volsdf_tpu.data.synthetic import gt_prob_volume
+    from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
+    H, W = scene.img_res
+    dvals = np.linspace(1.0, 3.4, D).astype(np.float32)
+    probs, slabs = [], []
+    rng = np.random.default_rng(3)
+    for v in range(3):
+        prob, hyp = gt_prob_volume(scene.poses[v], scene.intrinsics[v],
+                                   (H, W), dvals, scale_factor=1.0,
+                                   depth_noise=noise, rng=rng)
+        probs.append(prob)
+        slabs.append(np.stack([np.full((H, W), hyp[0], np.float32),
+                               np.full((H, W), hyp[-1], np.float32)]))
+    return MVSVolumes(prob=jnp.asarray(np.stack(probs)),
+                      z_slab=jnp.asarray(np.stack(slabs)),
+                      intrinsics=jnp.asarray(scene.intrinsics),
+                      c2w=jnp.asarray(scene.poses),
+                      img_res=scene.img_res, inverse_depth=False)
+
+
+def test_gt_prob_volume_peaks_at_gt_depth():
+    """The synthetic-prior generator: bump argmax lands on the
+    hypothesis nearest GT z-depth at hit pixels; miss pixels are flat;
+    each pixel's column is a probability distribution."""
+    from s_volsdf_tpu.data.synthetic import gt_prob_volume
+    scene = make_sphere_scene(n_views=3, img_res=(48, 64))
+    H, W = scene.img_res
+    dvals = np.linspace(1.0, 3.4, 48).astype(np.float32)
+    prob, hyp = gt_prob_volume(scene.poses[0], scene.intrinsics[0],
+                               (H, W), dvals, scale_factor=1.0)
+    assert prob.shape == (48, H, W)
+    np.testing.assert_allclose(prob.sum(axis=0), 1.0, rtol=1e-5)
+    gt_z = scene.depths[0]
+    hit = np.isfinite(gt_z)
+    nearest = np.abs(hyp[:, None, None] - np.where(hit, gt_z, 0.0)
+                     ).argmin(axis=0)
+    peak = prob.argmax(axis=0)
+    assert (np.abs(peak - nearest)[hit] <= 1).mean() > 0.99
+    flat = prob[:, ~hit]
+    assert np.allclose(flat, flat[0:1], atol=1e-6), "miss pixels not flat"
+
+    # inverse-depth grid: same endpoints, uniform in 1/z.
+    prob_i, hyp_i = gt_prob_volume(scene.poses[0], scene.intrinsics[0],
+                                   (H, W), dvals, scale_factor=1.0,
+                                   inverse_depth=True)
+    np.testing.assert_allclose([hyp_i[0], hyp_i[-1]],
+                               [dvals[0], dvals[-1]], rtol=1e-5)
+    np.testing.assert_allclose(np.diff(1.0 / hyp_i),
+                               np.diff(1.0 / hyp_i)[0], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_gt_prior_opens_gce_gate():
+    """With informative volumes (the pretrained-cascade stand-in) the
+    GCE confidence gate is OPEN during training: mvs_loss is nonzero
+    for most steps and decays as the SDF aligns with the prior —
+    unlike random-weight volumes, where it collapses to 0 (round-3
+    RUNLOG_100K). Reference mechanism: loss.py:53-67, vsdf.py:382-452."""
+    cfg = tiny_config()
+    cfg.loss.mvs_weight = 1.0
+    cfg.loss.sparse_weight = 1.0
+    cfg.loss.anneal_rgb = 30
+    scene = make_sphere_scene(n_views=3, img_res=(48, 64))
+    mvs = _gt_volumes(scene, noise=0.01)
+    rng_np = np.random.default_rng(0)
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(cfg)
+    state = init_train_state(cfg, params, tx)
+    key = jax.random.PRNGKey(1)
+    mvs_losses = []
+    for step in range(120):
+        batch = make_batch(scene, rng_np, step % 3, cfg.train.num_pixels)
+        key, sub = jax.random.split(key)
+        state, lo = train_step(state, batch, sub, mvs,
+                               cfg=cfg, tx=tx, use_mvs=True)
+        assert np.isfinite(float(lo.loss))
+        mvs_losses.append(float(lo.mvs_loss))
+    mvs_losses = np.asarray(mvs_losses)
+    open_frac = (mvs_losses > 1e-6).mean()
+    assert open_frac > 0.5, f"GCE gate mostly closed ({open_frac:.0%})"
+    assert mvs_losses[-30:].mean() < mvs_losses[:30].mean(), \
+        "mvs loss did not decay"
+
+
 @pytest.mark.slow
 def test_bf16_activation_training_quality():
     """bf16 hidden activations during training (the v5e 17.0 -> 13.3 ms

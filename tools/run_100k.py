@@ -44,6 +44,21 @@ def main():
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--log", default=None)
     ap.add_argument("--preset", default="dtu", choices=["dtu", "bmvs"])
+    ap.add_argument("--prior", default="gt", choices=["gt", "cascade"],
+                    help="MVS regularizer source: 'gt' = informative "
+                         "volumes from the fixture's analytic sphere "
+                         "(Gaussian bumps around GT depth + noise — "
+                         "stands in for a PRETRAINED cascade, so the "
+                         "GCE confidence gate trains OPEN); 'cascade' "
+                         "= run the random-weight cascade (exercises "
+                         "the full stage-0 plumbing but the gate "
+                         "closes after ~5k steps; pre-r4 behavior)")
+    ap.add_argument("--prior-noise", type=float, default=2.5,
+                    help="metric std of per-pixel GT-depth jitter for "
+                         "--prior gt (~1 DTU depth interval)")
+    ap.add_argument("--no-mvs", action="store_true",
+                    help="train WITHOUT the MVS regularizer (same "
+                         "seed/schedule) — the A/B control arm")
     args = ap.parse_args()
 
     os.makedirs(args.exps, exist_ok=True)
@@ -100,17 +115,40 @@ def main():
     print(f"trainer at step {start_step} (resume={args.resume})",
           flush=True)
 
-    # Cascade stage 0 at production MVS res -> prob volumes (the run's
-    # MVS regularizer, exactly as save_scene_depth stage 0 wires it).
+    # Stage-0 prob volumes: either the jitted cascade (random weights —
+    # no pretrained ckpt in this env) or informative GT-derived volumes
+    # (--prior gt) that stand in for a pretrained cascade so the GCE
+    # regularizer trains with its gate open (reference loss.py:53-67,
+    # runner.py:149-154 loads real ckpts).
     t0 = time.time()
-    engine = MVSEngine(cfg)
-    outs, extras = run_mvs_stage(cfg, engine, sc, 0)
+    if args.prior == "cascade":
+        engine = MVSEngine(cfg)
+        outs, extras = run_mvs_stage(cfg, engine, sc, 0)
+    else:
+        from s_volsdf_tpu.data.synthetic import gt_prob_volume
+        rng_prior = np.random.default_rng(7)
+        outs = []
+        for i, tid in enumerate(trainer.trains_i):
+            s = sc["samples"][i]
+            assert s.view_ids[0] == tid
+            Hc, Wc = s.imgs.shape[1] // 4, s.imgs.shape[2] // 4
+            K = trainer.scene.intrinsics[tid].copy()
+            K[0, :] *= Wc / trainer.scene.img_res[1]
+            K[1, :] *= Hc / trainer.scene.img_res[0]
+            prob, hyp = gt_prob_volume(
+                trainer.scene.poses[tid], K, (Hc, Wc), s.depth_values,
+                trainer.scale_factor,
+                inverse_depth=bool(cfg.inverse_depth),
+                depth_noise=args.prior_noise, rng=rng_prior)
+            outs.append({"prob_volume": prob,
+                         "depth_values": np.broadcast_to(
+                             hyp[:, None, None], prob.shape)})
     trainer.stg = 0
     mvs = trainer.get_mvs_input(outs)
     t_cascade = time.time() - t0
-    print(f"cascade stage 0: {t_cascade:.1f}s", flush=True)
+    print(f"stage-0 volumes ({args.prior}): {t_cascade:.1f}s", flush=True)
 
-    use_mvs = True
+    use_mvs = not args.no_mvs
     run_chunk = trainer._get_loop(use_mvs)
     ti = trainer.trains_i
     scene_dev = {
@@ -120,7 +158,7 @@ def main():
         "intrinsics": jnp.asarray(trainer.scene.intrinsics[ti]),
     }
     from s_volsdf_tpu.engine.train_step import pack_for_chunk
-    mvs_dev = pack_for_chunk(cfg, mvs)
+    mvs_dev = pack_for_chunk(cfg, mvs) if use_mvs else None
 
     guard_trips = 0
     logf = open(log_path, "a")
@@ -149,6 +187,7 @@ def main():
             "rgb": round(float(losses.rgb_loss[-1]), 5),
             "eik": round(float(losses.eikonal_loss[-1]), 5),
             "mvs": round(float(losses.mvs_loss[-1]), 5),
+            "sparse": round(float(losses.sparse_loss[-1]), 5),
             "psnr": round(float(losses.psnr[-1]), 3),
             "beta": round(beta, 6),
             "guard_trips": guard_trips,
@@ -174,17 +213,32 @@ def main():
     trainer.save_checkpoint("epoch_final")
 
     # Feedback render (the stage-0 -> stage-1 coupling the production
-    # pipeline performs after the optimization, runner.py:235-243).
+    # pipeline performs after the optimization, runner.py:235-243) +
+    # geometry vs the analytic GT sphere for every train view (the
+    # synthetic Chamfer stand-in; see sphere_radial_error).
+    from s_volsdf_tpu.data.synthetic import sphere_radial_error
     t0 = time.time()
-    depth = trainer.render_mvs(ti[0])
+    radial = {}
+    depth = None
+    for v in ti:
+        d = trainer.render_mvs(v)
+        if depth is None:
+            depth = d
+        mean_e, med_e, n = sphere_radial_error(
+            trainer.scene.poses[v], trainer.scene.intrinsics[v],
+            trainer.scene.img_res, d, trainer.scale_factor)
+        radial[int(v)] = {"mean_mm": round(mean_e, 3),
+                          "median_mm": round(med_e, 3), "n_px": n}
     t_render = time.time() - t0
     rec = {
         "done": True, "steps": int(trainer.state.iter_step),
+        "use_mvs": use_mvs, "prior": args.prior,
         "guard_trips": guard_trips,
         "cascade_s": round(t_cascade, 1),
         "feedback_render_s": round(t_render, 1),
         "total_wall_s": round(time.time() - t_all, 1),
         "depth_range": [float(depth.min()), float(depth.max())],
+        "radial_error": radial,
     }
     logf.write(json.dumps(rec) + "\n")
     logf.close()

@@ -242,3 +242,92 @@ def test_feedback_render_bf16_close_to_f32():
     rng_d = float(f32["depth"].max() - f32["depth"].min()) or 1.0
     assert np.abs(bf["depth"] - f32["depth"]).mean() / rng_d < 0.02
     assert np.mean((f32["acc"] < 0.2) != (bf["acc"] < 0.2)) < 0.01
+
+
+def _train_live_gce(cfg, n_steps=80):
+    """Train with the GT-prior volumes (GCE gate open) and return the
+    per-step (loss, mvs_loss, psnr) trajectory."""
+    scene = make_sphere_scene(n_views=3, img_res=(48, 64))
+    mvs = _gt_volumes(scene, noise=0.01)
+    rng_np = np.random.default_rng(0)
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(cfg)
+    state = init_train_state(cfg, params, tx)
+    key = jax.random.PRNGKey(1)
+    rows = []
+    for step in range(n_steps):
+        batch = make_batch(scene, rng_np, step % 3, cfg.train.num_pixels)
+        key, sub = jax.random.split(key)
+        state, lo = train_step(state, batch, sub, mvs,
+                               cfg=cfg, tx=tx, use_mvs=True)
+        rows.append((float(lo.loss), float(lo.mvs_loss), float(lo.psnr)))
+    out = np.asarray(rows)
+    assert np.isfinite(out).all()
+    return out
+
+
+def _live_cfg():
+    cfg = tiny_config()
+    cfg.loss.mvs_weight = 1.0
+    cfg.loss.sparse_weight = 1.0
+    cfg.loss.anneal_rgb = 30
+    return cfg
+
+
+@pytest.mark.slow
+def test_inverse_cdf_lever_bitidentical_on_live_gce_path():
+    """Round-3 lever re-verification on a LIVE-gradient GCE path
+    (VERDICT r3 item 1 tail): the round-3 100k evidence showed the
+    gather-free inverse CDF bit-identical only on a trajectory whose
+    mvs term was 0 after step 5k. Here the GT-prior volumes keep the
+    confidence gate open, so the cost_mapping/GCE gradient flows
+    through the sampled z_vals — and the masked-reduction inverse CDF
+    (ops/inverse_cdf.py) must still match the literal
+    searchsorted+gather form (ray_sampler.py:166-185 semantics)
+    bit-for-bit, trajectory-wide."""
+    import s_volsdf_tpu.models.sampler as sampler_mod
+    from s_volsdf_tpu.ops.inverse_cdf import sample_pdf_from_cdf_gather
+
+    cfg = _live_cfg()
+    traj_fast = _train_live_gce(cfg)
+    assert (traj_fast[:, 1] > 1e-6).mean() > 0.5, "GCE gate not open"
+
+    calls = {"n": 0}
+
+    def gather_spy(bins, cdf, u):
+        calls["n"] += 1
+        return sample_pdf_from_cdf_gather(bins, cdf, u)
+
+    orig = sampler_mod.sample_pdf_from_cdf
+    sampler_mod.sample_pdf_from_cdf = gather_spy
+    jax.clear_caches()  # force retrace so the swap is actually traced
+    try:
+        traj_gather = _train_live_gce(cfg)
+    finally:
+        sampler_mod.sample_pdf_from_cdf = orig
+        jax.clear_caches()
+    assert calls["n"] > 0, "gather form was never traced"
+    np.testing.assert_array_equal(traj_fast, traj_gather)
+
+
+@pytest.mark.slow
+def test_bf16_lever_quality_on_live_gce_path():
+    """bf16 train activations re-verified with a live GCE gradient
+    (VERDICT r3 item 1 tail): same seeds/batches/volumes, precision is
+    the only difference; the gate must stay open in both arms and the
+    PSNR gap must stay inside the round-3 quality bar (1.5 dB)."""
+    f32 = _live_cfg()
+    f32.train = dataclasses.replace(
+        f32.train, train_compute_dtype="float32",
+        train_activation_dtype="float32")
+    bf16 = _live_cfg()
+    bf16.train = dataclasses.replace(
+        bf16.train, train_compute_dtype="bfloat16",
+        train_activation_dtype="bfloat16")
+    t_f32 = _train_live_gce(f32)
+    t_bf16 = _train_live_gce(bf16)
+    for name, t in (("f32", t_f32), ("bf16", t_bf16)):
+        assert (t[:, 1] > 1e-6).mean() > 0.5, f"GCE gate not open ({name})"
+    p_f32 = t_f32[-10:, 2].mean()
+    p_bf16 = t_bf16[-10:, 2].mean()
+    assert p_bf16 > p_f32 - 1.5, (p_f32, p_bf16)

@@ -361,14 +361,31 @@ def test_pipeline_gate_catches_transposed_weight(samples, fixture_root):
         f"transposed weight went undetected (max diff {mismatch})"
 
 
-def _train_torch(model, cfg, scene, batches, stream_seed: int):
+def _train_torch(model, cfg, scene, batches, stream_seed: int, mvs=None):
     """Train the reference model in place with its production
     VolSDFLoss + Adam (vsdf.py:92-102); only the per-step torch RNG
-    stream (sampler noise, eikonal points) depends on stream_seed."""
+    stream (sampler noise, eikonal points) depends on stream_seed.
+
+    With `mvs` (dict of costs/z_mvs/intrinsics/c2w/img_res lists, the
+    torch_cost_mapping operand layout), each step also runs the literal
+    cost_mapping oracle and trains the GCE term with cfg.loss's
+    mvs/gce/confi weights — the reference's use_mvs=True step
+    (vsdf.py:206-210)."""
     from volsdf.model.loss import VolSDFLoss
     torch.manual_seed(stream_seed)
     model.train()
-    loss_fn = VolSDFLoss(rgb_loss="torch.nn.L1Loss", eikonal_weight=0.1)
+    if mvs is None:
+        loss_fn = VolSDFLoss(rgb_loss="torch.nn.L1Loss",
+                             eikonal_weight=0.1)
+    else:
+        from test_parity_cost_mapping import torch_cost_mapping
+        loss_fn = VolSDFLoss(
+            rgb_loss="torch.nn.L1Loss",
+            eikonal_weight=cfg.loss.eikonal_weight,
+            mvs_weight=cfg.loss.mvs_weight,
+            sparse_weight=cfg.loss.sparse_weight,
+            anneal_rgb=cfg.loss.anneal_rgb,
+            gce=cfg.loss.gce, confi=cfg.loss.confi)
     loss_fn.set_stg(0)   # initializes iter_step (vsdf.py does this)
     opt = torch.optim.Adam(model.parameters(), lr=cfg.train.learning_rate)
     for view, uv, rgb in batches:
@@ -378,6 +395,12 @@ def _train_torch(model, cfg, scene, batches, stream_seed: int):
             "pose": torch.from_numpy(scene.poses[view])[None],
         }
         out = model(t_in, fast=1)
+        if mvs is not None:
+            out["pj"], out["pi"], _ = torch_cost_mapping(
+                out["depth_vals"].detach(), out["xyz"].detach(),
+                [v == view for v in range(len(mvs["costs"]))],
+                mvs["costs"], mvs["z_mvs"], mvs["intrinsics"],
+                mvs["c2w"], mvs["img_res"])
         losses = loss_fn(out, {"rgb": torch.from_numpy(rgb)[None]})
         opt.zero_grad()
         losses["loss"].backward()

@@ -12,6 +12,18 @@ with the torch reference's own RNG-stream noise floor measured at the
 same scale, so the cross-framework gap is reported against its noise
 band (BASELINE.md 5%-of-reference bar).
 
+Both arms train with the SAME informative MVS probability volumes
+(data/synthetic.py:gt_prob_volume) and the production GCE weights
+(ours.yaml: mvs_weight=1, gce=0.5, confi=1e-3) — the torch side
+through the literal cost_mapping oracle (vsdf.py:382-452 semantics,
+tests/test_parity_cost_mapping.py) + the reference's own VolSDFLoss.
+Without the prior, 3-view photometric training is shape-ambiguous at
+this scale (both frameworks land beyond the 20 mm clip and the
+protocol returns NaN — measured), so the regularized protocol is the
+one under which Chamfer parity is even defined; it is also the
+reference's published protocol. `--no-mvs` keeps the old
+photometric-only mode for the record.
+
 Run (CPU; the torch reference is CPU-only in this env):
     python tools/chamfer_midscale.py --steps 1500 --out CHAMFER_MIDSCALE.json
 """
@@ -36,6 +48,14 @@ def main():
                     help="unit->mm frame factor (the fixture's DTU-like "
                          "metric scale)")
     ap.add_argument("--out", default="CHAMFER_MIDSCALE.json")
+    ap.add_argument("--no-mvs", action="store_true",
+                    help="photometric-only arms (shape-ambiguous at 3 "
+                         "views: both frameworks exceed the 20 mm clip)")
+    ap.add_argument("--ndepth", type=int, default=48,
+                    help="hypothesis planes of the shared GT-prior "
+                         "volumes (production stage-0 quarter-res "
+                         "analog)")
+    ap.add_argument("--prior-noise-mm", type=float, default=2.5)
     args = ap.parse_args()
     H, W = (int(x) for x in args.res.split(","))
 
@@ -60,6 +80,50 @@ def main():
     scene = make_sphere_scene(n_views=3, img_res=(H, W), cam_radius=2.2)
     cfg = _our_config()
     cfg.train.num_pixels = args.rays
+    # Production GCE weights (ours.yaml:15-21) on BOTH sides; sparse +
+    # anneal off (they need the full rgb_smooth/feedback machinery and
+    # are orthogonal to the geometry mechanism under test).
+    cfg.loss.mvs_weight = 0.0 if args.no_mvs else 1.0
+    cfg.loss.sparse_weight = 0.0
+    cfg.loss.anneal_rgb = 0
+
+    use_mvs = not args.no_mvs
+    torch_mvs, our_mvs = None, None
+    if use_mvs:
+        from s_volsdf_tpu.data.synthetic import gt_prob_volume
+        from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
+        Hc, Wc = H // 4, W // 4
+        dvals = np.linspace(1.0, 3.4, args.ndepth).astype(np.float32)
+        noise = args.prior_noise_mm / args.world_scale
+        rngp = np.random.default_rng(7)
+        probs, slabs, hyps = [], [], []
+        for v in range(3):
+            Kc = scene.intrinsics[v].copy()
+            Kc[0, :] *= Wc / W
+            Kc[1, :] *= Hc / H
+            prob, hyp = gt_prob_volume(scene.poses[v], Kc, (Hc, Wc),
+                                       dvals, scale_factor=1.0,
+                                       depth_noise=noise, rng=rngp)
+            probs.append(prob)
+            hyps.append(hyp)
+            slabs.append(np.stack([np.full((Hc, Wc), hyp[0], np.float32),
+                                   np.full((Hc, Wc), hyp[-1], np.float32)]))
+        torch_mvs = {
+            "costs": [torch.from_numpy(p)[None] for p in probs],
+            "z_mvs": [torch.from_numpy(np.broadcast_to(
+                h[:, None, None], p.shape).copy())[None]
+                for h, p in zip(hyps, probs)],
+            "intrinsics": [torch.from_numpy(scene.intrinsics[v])
+                           for v in range(3)],
+            "c2w": [torch.from_numpy(scene.poses[v]) for v in range(3)],
+            "img_res": (H, W),
+        }
+        our_mvs = MVSVolumes(
+            prob=jnp.asarray(np.stack(probs)),
+            z_slab=jnp.asarray(np.stack(slabs)),
+            intrinsics=jnp.asarray(scene.intrinsics),
+            c2w=jnp.asarray(scene.poses),
+            img_res=(H, W), inverse_depth=False)
 
     torch.manual_seed(0)
     model = _build_reference_model()
@@ -74,10 +138,11 @@ def main():
         uv, rgb = sample_rays(scene, rng_np, view, args.rays)
         batches.append((view, uv, rgb))
 
-    print(f"[{time.strftime('%H:%M:%S')}] torch run A ({args.steps} steps)",
-          flush=True)
+    print(f"[{time.strftime('%H:%M:%S')}] torch run A ({args.steps} steps, "
+          f"use_mvs={use_mvs})", flush=True)
     t0 = time.time()
-    model = _train_torch(model, cfg, scene, batches, stream_seed=100)
+    model = _train_torch(model, cfg, scene, batches, stream_seed=100,
+                         mvs=torch_mvs)
     t_torch = time.time() - t0
     print(f"  {t_torch:.0f}s", flush=True)
 
@@ -85,7 +150,8 @@ def main():
           f"control)", flush=True)
     model_b = _build_reference_model()
     model_b.load_state_dict(sd0)
-    model_b = _train_torch(model_b, cfg, scene, batches, stream_seed=200)
+    model_b = _train_torch(model_b, cfg, scene, batches, stream_seed=200,
+                           mvs=torch_mvs)
 
     print(f"[{time.strftime('%H:%M:%S')}] ours (same init via converter, "
           f"same batches)", flush=True)
@@ -102,8 +168,8 @@ def main():
             "intrinsics": jnp.asarray(scene.intrinsics[view])[None],
             "view_onehot": jnp.zeros((3,)).at[view].set(1.0),
         }
-        state, _ = train_step(state, batch, sub, None, cfg=cfg, tx=tx,
-                              use_mvs=False)
+        state, _ = train_step(state, batch, sub, our_mvs, cfg=cfg, tx=tx,
+                              use_mvs=use_mvs)
     t_ours = time.time() - t0
     print(f"  {t_ours:.0f}s", flush=True)
 
@@ -200,6 +266,13 @@ def main():
     out = {
         "protocol": {"img_res": [H, W], "steps": args.steps,
                      "rays_per_step": args.rays,
+                     "use_mvs": use_mvs,
+                     "prior": None if args.no_mvs else
+                     {"ndepth": args.ndepth,
+                      "noise_mm": args.prior_noise_mm,
+                      "res": [H // 4, W // 4],
+                      "gce": cfg.loss.gce, "confi": cfg.loss.confi,
+                      "mvs_weight": cfg.loss.mvs_weight},
                      "world_scale": s, "downsample_mm": 0.2,
                      "max_dist_mm": 20.0,
                      "model": "converted shared init, 5x64 SDF + 3x64 RGB",

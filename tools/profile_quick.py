@@ -44,6 +44,22 @@ def main():
         print("remat=on")
         import functools
         loss_fn = jax.checkpoint(_loss_fn, static_argnums=(1,))
+    pol_name = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("rematpol=")), None)
+    if pol_name:
+        # Selective rematerialization (VERDICT r3 item 5a): keep the
+        # MXU dot outputs as residuals but recompute the elementwise
+        # chains (softplus/PE/density) in the backward instead of
+        # loading their saved bf16 residuals from HBM.
+        pols = jax.checkpoint_policies
+        policy = {
+            "dots": pols.dots_saveable,
+            "dots_nobatch": pols.dots_with_no_batch_dims_saveable,
+            "nothing": pols.nothing_saveable,
+        }[pol_name]
+        print(f"rematpol={pol_name}")
+        loss_fn = jax.checkpoint(_loss_fn, static_argnums=(1,),
+                                 policy=policy)
 
     def body(aux, st, rng):
         scene, vols = aux
@@ -60,6 +76,14 @@ def main():
         lambda c, r: body(a, c, r), s, rngs, unroll=unroll))
     aux = (scene_dev, packed)
     rngs = jax.random.split(jax.random.PRNGKey(2), N_STEPS)
+    if "cost" in sys.argv:
+        ca = fn.lower(aux, state, rngs).compile().cost_analysis()
+        for k in ("flops", "bytes accessed"):
+            if k in ca:
+                print(f"cost_analysis[{k}] = {ca[k]/N_STEPS:,.0f} /step")
+        for k, v in sorted(ca.items()):
+            if k.startswith("bytes accessed") and k != "bytes accessed":
+                print(f"  {k} = {v/N_STEPS:,.0f} /step")
     out = fn(aux, state, rngs)
     print("losses[:3] =", np.asarray(out[1][:3]))
     t0 = time.perf_counter()

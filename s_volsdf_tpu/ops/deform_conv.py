@@ -5,8 +5,17 @@ The reference delegates to torchvision's CUDA kernel
 `torchvision.ops.deform_conv2d`). TPU rebuild: for each output pixel
 and each of the K=kh*kw taps, bilinearly sample the input at
 (base_tap + learned_offset), scale by the sigmoid mask, then contract
-the (K*Cin) patch axis against the weights on the MXU — the gather is
-the only non-matmul work, exactly the structure XLA fuses well.
+the Cin patch axis against that tap's weight rows on the MXU.
+
+Layout: the input is corner-packed ONCE (ops/grid_sample.pack_corners)
+so every bilinear sample is a single contiguous 128-lane row take
+instead of four C-float gathers — the op is gather-transaction-bound
+at TransMVSNet's full-res shapes (nine 1152x1536 DCNs per view), and
+the 4x transaction cut is the same lever that carried the plane-sweep
+warp (models/mvs/warp.py). Taps run as a lax.scan accumulating
+directly into the (H*W, Cout) output, so only ONE tap's gathered rows
+(~0.9 GB at stage-3 production shapes) are live at a time instead of a
+(H, W, K*Cin) patch tensor.
 """
 
 from __future__ import annotations
@@ -14,24 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-
-def _bilinear_gather(img, y, x):
-    """img: (H, W, C); y/x: (...,) float pixel coords; zero padding.
-    Returns (..., C)."""
-    H, W = img.shape[0], img.shape[1]
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1, y1 = x0 + 1, y0 + 1
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
-
-    def g(yi, xi):
-        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
-        return v * valid[..., None]
-
-    return ((g(y0, x0) * (1 - wx) + g(y0, x1) * wx) * (1 - wy)
-            + (g(y1, x0) * (1 - wx) + g(y1, x1) * wx) * wy)
+from s_volsdf_tpu.ops.grid_sample import bilinear_packed_pix, pack_corners
 
 
 def deform_conv2d(x, offset, mask, weight, bias=None, *, kh: int = 3,
@@ -51,23 +43,31 @@ def deform_conv2d(x, offset, mask, weight, bias=None, *, kh: int = 3,
     """
     H, W, Cin = x.shape
     K = kh * kw
+    Cout = weight.shape[-1]
+    flat = pack_corners(x).reshape(H * W, -1)
     ys = jnp.arange(H, dtype=x.dtype)
     xs = jnp.arange(W, dtype=x.dtype)
     base_y, base_x = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
 
-    taps = []
-    for k in range(K):
-        ky, kx = divmod(k, kw)
-        dy = offset[..., 2 * k]
-        dx = offset[..., 2 * k + 1]
-        py = base_y + (ky - padding) + dy
-        px = base_x + (kx - padding) + dx
-        sampled = _bilinear_gather(x, py, px)          # (H, W, Cin)
-        taps.append(sampled * mask[..., k:k + 1])
-    patches = jnp.concatenate(taps, axis=-1)           # (H, W, K*Cin)
+    taps = jnp.arange(K, dtype=jnp.int32)
+    tap_y = (taps // kw - padding).astype(x.dtype)         # (K,)
+    tap_x = (taps % kw - padding).astype(x.dtype)
+    dy = jnp.moveaxis(offset[..., 0::2], -1, 0)            # (K, H, W)
+    dx = jnp.moveaxis(offset[..., 1::2], -1, 0)
+    mk = jnp.moveaxis(mask, -1, 0)                         # (K, H, W)
+    w_taps = weight.reshape(K, Cin, Cout)
 
-    out = patches.reshape(-1, K * Cin) @ weight        # MXU contraction
-    out = out.reshape(H, W, -1)
+    def tap(acc, inp):
+        dyk, dxk, m, wk, ky, kx = inp
+        py = base_y + ky + dyk
+        px = base_x + kx + dxk
+        v = bilinear_packed_pix(flat, (H, W), Cin, py, px)  # (H, W, Cin)
+        acc = acc + (v * m[..., None]).reshape(H * W, Cin) @ wk
+        return acc, None
+
+    acc0 = jnp.zeros((H * W, Cout), x.dtype)
+    acc, _ = jax.lax.scan(tap, acc0, (dy, dx, mk, w_taps, tap_y, tap_x))
+    out = acc.reshape(H, W, Cout)
     if bias is not None:
         out = out + bias
     return out

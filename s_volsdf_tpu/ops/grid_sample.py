@@ -118,25 +118,44 @@ def grid_sample_2d_packed(packed, n_channels: int, coords,
     counts that this form avoids.
     """
     H, W, P = packed.shape
-    C = n_channels
     shape = coords.shape[:-1]
     c = coords.reshape(-1, 2)
     x = _unnormalize(c[:, 0], W, align_corners)
     y = _unnormalize(c[:, 1], H, align_corners)
+    out = bilinear_packed_pix(packed.reshape(H * W, P), (H, W),
+                              n_channels, y, x)
+    return out.reshape(shape + (n_channels,))
+
+
+def bilinear_packed_pix(flat_packed, hw, n_channels: int, y, x):
+    """Bilinear sample at absolute PIXEL coords from a pack_corners
+    layout flattened to (H*W, P) — the core of grid_sample_2d_packed,
+    exposed pixel-space for callers whose coordinates are already in
+    index space (the deformable conv's base_tap + learned offset).
+
+    y/x: (...,) float pixel coordinates; zeros padding outside [0, H) x
+    [0, W). Returns (..., C). One flat row `jnp.take` per sample.
+    """
+    H, W = hw
+    C = n_channels
+    shape = y.shape
+    x = x.reshape(-1)
+    y = y.reshape(-1)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     # Clamped lookup start; corner (ix, iy) relative to the true x0/y0
     # sits at pack slot (ix + sx) + 2*(iy + sy) when that is in {0..1}^2
-    # — out-of-block corners are out of bounds and carry zero weight.
+    # — out-of-block corners are out of bounds and carry zero weight
+    # (or, for corners exactly one past the edge, hit the pack's zero
+    # rows — either way the zeros-padding contribution is 0).
     xs = jnp.clip(x0, 0, W - 1)
     ys = jnp.clip(y0, 0, H - 1)
-    sx = x0 - xs   # 0, or <0 when x0 clipped up, >0 impossible
+    sx = x0 - xs   # 0 when in range; !=0 when x0 was clipped
     sy = y0 - ys
     wx = x - x0
     wy = y - y0
 
-    rows = jnp.take(packed.reshape(H * W, P), ys * W + xs,
-                    axis=0)  # (N, P)
+    rows = jnp.take(flat_packed, ys * W + xs, axis=0)  # (N, P)
 
     def wgt(i, w):
         return jnp.where(i == 0, 1.0 - w, jnp.where(i == 1, w, 0.0))

@@ -62,6 +62,27 @@ def _scene_dev(trainer: VolTrainer) -> Dict:
     }
 
 
+def _pack_stacked(cfg: Config, trainers: List[VolTrainer]):
+    """Stacked PackedVolumes for the lockstep loop, packed ONE scene at
+    a time. vmapping pack_for_chunk over scenes holds every scene's
+    corner-cube f32 temps (8 shifted copies of each (V, D, Hc, Wc)
+    volume + the pre-cast concat) live simultaneously — at production
+    x2 stage-0 shapes that is >12 GB and OOMs a 16 GB chip (measured,
+    round 4). Sequential packing bounds the transient to one scene
+    (~5 GB) plus the stacked bf16 result (~1 GB/scene)."""
+    from s_volsdf_tpu.engine.train_step import pack_for_chunk
+    pack1 = jax.jit(lambda m: pack_for_chunk(cfg, m))
+    packed = []
+    for t in trainers:
+        p = pack1(t.mvs)
+        # Bound the transient to one scene's pack temps at a time: a
+        # host fetch is the only hard sync on the axon tunnel
+        # (block_until_ready returns before remote temps are freed).
+        np.asarray(p.nf8[0, 0, 0])
+        packed.append(p)
+    return _stack(packed)
+
+
 def _pick_loop(cfg: Config, S: int, *, use_mvs: bool, n_views: int,
                img_res):
     """Pick the widest topology the device count admits: scenes over
@@ -139,12 +160,7 @@ def run_joint(trainers: List[VolTrainer], opt_stepN: int,
 
     states = _stack([t.state for t in trainers])
     scenes = _stack([_scene_dev(t) for t in trainers])
-    mvs = _stack([t.mvs for t in trainers]) if use_mvs else None
-    if use_mvs:
-        # Pack once for the whole optimization (run_chunk passes
-        # PackedVolumes through untouched).
-        from s_volsdf_tpu.engine.train_step import pack_for_chunk
-        mvs = jax.vmap(lambda m: pack_for_chunk(cfg, m))(mvs)
+    mvs = _pack_stacked(cfg, trainers) if use_mvs else None
 
     start = int(np.asarray(states.iter_step)[0])
     done = 0

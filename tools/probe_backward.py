@@ -109,12 +109,16 @@ def main():
 
     # Correctness gate: every variant must produce the production
     # step's loss (same math, different schedule). One step, f64-free
-    # exact compare on this backend.
+    # exact compare on this backend. Jitted — eager grad dispatch over
+    # the axon tunnel takes tens of minutes.
     def one_loss(loss_fn):
-        batch, k = sample_train_batch(
-            scene_dev, jax.random.PRNGKey(9), **kw)
-        g, lo = jax.grad(loss_fn, has_aux=True)(
-            state.params, batch, k, packed, state.iter_step)
+        @jax.jit
+        def gate(scene, params, mvs, iter_step):
+            batch, k = sample_train_batch(
+                scene, jax.random.PRNGKey(9), **kw)
+            return jax.grad(loss_fn, has_aux=True)(
+                params, batch, k, mvs, iter_step)
+        g, lo = gate(scene_dev, state.params, packed, state.iter_step)
         return np.asarray(lo.loss), jax.tree.map(np.asarray, g)
 
     def prod_loss_fn(params, batch, rng, mvs, iter_step):

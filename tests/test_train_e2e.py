@@ -331,3 +331,89 @@ def test_bf16_lever_quality_on_live_gce_path():
     p_f32 = t_f32[-10:, 2].mean()
     p_bf16 = t_bf16[-10:, 2].mean()
     assert p_bf16 > p_f32 - 1.5, (p_f32, p_bf16)
+
+
+def _gt_volumes_inverse(scene, D=32, noise=0.0):
+    """Informative volumes on an INVERSE-depth hypothesis grid (the
+    BMVS stage-0 unbounded-scene variant, reference
+    CasMVSNet.py:538-577 + vsdf.py:426-428)."""
+    from s_volsdf_tpu.data.synthetic import gt_prob_volume
+    from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
+    H, W = scene.img_res
+    dvals = np.linspace(1.2, 3.8, D).astype(np.float32)
+    probs, slabs = [], []
+    rng = np.random.default_rng(3)
+    for v in range(3):
+        prob, hyp = gt_prob_volume(scene.poses[v], scene.intrinsics[v],
+                                   (H, W), dvals, scale_factor=1.0,
+                                   inverse_depth=True,
+                                   depth_noise=noise, rng=rng)
+        probs.append(prob)
+        slabs.append(np.stack([np.full((H, W), hyp[0], np.float32),
+                               np.full((H, W), hyp[-1], np.float32)]))
+    return MVSVolumes(prob=jnp.asarray(np.stack(probs)),
+                      z_slab=jnp.asarray(np.stack(slabs)),
+                      intrinsics=jnp.asarray(scene.intrinsics),
+                      c2w=jnp.asarray(scene.poses),
+                      img_res=scene.img_res, inverse_depth=True)
+
+
+def _bmvs_cfg():
+    """BMVS-shaped tiny config: NeRF++ background + inverse-depth
+    stage-0 volumes (config/vol/bmvs.yaml shapes, shrunk for CPU)."""
+    from s_volsdf_tpu.config import BGNetworkConfig, ImplicitNetConfig, \
+        RenderingNetConfig
+    cfg = tiny_config()
+    cfg.loss.mvs_weight = 1.0
+    cfg.loss.sparse_weight = 1.0
+    cfg.loss.anneal_rgb = 30
+    cfg.model.with_background = True
+    cfg.model.implicit.sphere_scale = 1.0
+    cfg.model.sampler.inverse_sphere_bg = True
+    cfg.model.sampler.N_samples_inverse_sphere = 8
+    cfg.model.bg = BGNetworkConfig(
+        feature_vector_size=64,
+        implicit=ImplicitNetConfig(
+            d_in=4, d_out=1, dims=(64,) * 4, geometric_init=False,
+            bias=0.0, skip_in=(), weight_norm=False, multires=10),
+        rendering=RenderingNetConfig(
+            mode="nerf", d_in=3, d_out=3, dims=(64,), weight_norm=False,
+            multires_view=4))
+    return cfg
+
+
+@pytest.mark.slow
+def test_bmvs_gt_prior_keeps_gce_gate_open_past_anneal():
+    """BMVS-path regression for the r4 production finding: on the
+    background-model + inverse-depth path the anneal boundary
+    (loss.py:104-105) is a bifurcation — a bad stream can dump all
+    foreground mass into the NeRF++ background, every sample leaves
+    the hypothesis slab, and the GCE gate (loss.py:66) closes FOREVER
+    (conf == 0 exactly; runs/r4_bmvs_10k_seed0_collapsed.jsonl). This
+    gate-level test trains through the boundary and asserts the mvs
+    term is alive in the post-anneal half, so a plumbing regression
+    that zeroes pi/pj on the bg path (wrong depth frame, slab
+    normalization, validity mask) cannot hide behind 'photometrics
+    still train'."""
+    from s_volsdf_tpu.models.network_bg import init_volsdf_bg_params
+
+    cfg = _bmvs_cfg()
+    scene = make_sphere_scene(n_views=3, img_res=(48, 64))
+    mvs = _gt_volumes_inverse(scene, noise=0.01)
+    rng_np = np.random.default_rng(0)
+    params = init_volsdf_bg_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(cfg)
+    state = init_train_state(cfg, params, tx)
+    key = jax.random.PRNGKey(1)
+    mvs_losses = []
+    for step in range(120):
+        batch = make_batch(scene, rng_np, step % 3, cfg.train.num_pixels)
+        key, sub = jax.random.split(key)
+        state, lo = train_step(state, batch, sub, mvs,
+                               cfg=cfg, tx=tx, use_mvs=True)
+        assert np.isfinite(float(lo.loss))
+        mvs_losses.append(float(lo.mvs_loss))
+    post = np.asarray(mvs_losses[60:])
+    open_frac = (post > 1e-6).mean()
+    assert open_frac > 0.5, \
+        f"GCE gate mostly closed post-anneal ({open_frac:.0%})"

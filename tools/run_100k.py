@@ -56,9 +56,31 @@ def main():
     ap.add_argument("--prior-noise", type=float, default=2.5,
                     help="metric std of per-pixel GT-depth jitter for "
                          "--prior gt (~1 DTU depth interval)")
+    ap.add_argument("--prior-sigma", type=float, default=1.5,
+                    help="--prior gt bump width in hypothesis "
+                         "intervals. 1.5 gives peak prob ~0.24 — a "
+                         "deliberately SOFT cascade stand-in. A "
+                         "trained cascade peaks 0.5-0.9; on the "
+                         "bg-model preset the soft prior leaves the "
+                         "per-ray confidence only ~3x above the GCE "
+                         "gate (loss confi=1e-3) and the anneal "
+                         "boundary becomes a coin-flip (see --seed "
+                         "help + RUNLOG_R4). Use ~1.0 with "
+                         "--prior-floor 0.02 for realistic peakiness")
+    ap.add_argument("--prior-floor", type=float, default=0.05,
+                    help="--prior gt uniform background mass")
     ap.add_argument("--no-mvs", action="store_true",
                     help="train WITHOUT the MVS regularizer (same "
                          "seed/schedule) — the A/B control arm")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override cfg.seed (the trainer's param-init "
+                         "+ ray-sampling RNG). The anneal boundary "
+                         "(loss.py:104-105 semantics) is a stochastic "
+                         "bifurcation on 3-view fixtures: a bad stream "
+                         "can dump all foreground mass into the NeRF++ "
+                         "background and close the GCE gate for good "
+                         "(conf==0 once every sample leaves the "
+                         "hypothesis slab), so runs record their seed")
     args = ap.parse_args()
 
     os.makedirs(args.exps, exist_ok=True)
@@ -100,6 +122,8 @@ def main():
             f"is_continue={'true' if args.resume else 'false'}",
         ]
 
+    if args.seed is not None:
+        overrides.append(f"seed={args.seed}")
     cfg = load_config(args.preset, overrides=overrides)
     cfg = per_scene_overrides(cfg, scene_name)
 
@@ -138,6 +162,7 @@ def main():
             prob, hyp = gt_prob_volume(
                 trainer.scene.poses[tid], K, (Hc, Wc), s.depth_values,
                 trainer.scale_factor,
+                sigma_intervals=args.prior_sigma, floor=args.prior_floor,
                 inverse_depth=bool(cfg.inverse_depth),
                 depth_noise=args.prior_noise, rng=rng_prior)
             outs.append({"prob_volume": prob,
@@ -187,6 +212,9 @@ def main():
             "rgb": round(float(losses.rgb_loss[-1]), 5),
             "eik": round(float(losses.eikonal_loss[-1]), 5),
             "mvs": round(float(losses.mvs_loss[-1]), 5),
+            # chunk mean: "gate open" evidence must not rest on the
+            # last step alone (the GCE gate is per-ray, loss.py:66)
+            "mvs_mean": round(float(losses.mvs_loss.mean()), 6),
             "sparse": round(float(losses.sparse_loss[-1]), 5),
             "psnr": round(float(losses.psnr[-1]), 3),
             "beta": round(beta, 6),

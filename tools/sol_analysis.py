@@ -19,13 +19,17 @@ and speed-of-light = max of the two, vs the measured phase time
 (pass --time to re-measure on this run; otherwise supply the
 committed BENCH_NOTES table next to the output by hand).
 
-Caveats (why this is a floor, not a prediction): XLA's bytes-accessed
-counts each HLO's operand+result traffic *post-fusion* but assumes
-perfect reuse within a fusion only — gather/scatter transaction
-inefficiency (a 4-byte lane pulling a 32-byte sector) and VPU
-issue-rate limits on transcendental-heavy chains are NOT modeled, so
-phases dominated by row-takes (cost_mapping) or softplus/exp chains
-(density, sampler glue) legitimately sit above their byte floor.
+Caveats — measured (see BENCH_NOTES "Speed-of-light close-out"): the
+MXU floor is sound, but XLA's bytes-accessed is an UPPER BOUND, not a
+floor, for gather-heavy programs: each `take`/gather HLO is charged
+its FULL operand (the 763 MB packed corner-cube volumes count once
+per lookup), so the cost_mapping phase reports a 20.8 ms "HBM floor"
+that the real program beats at 5.4 ms — the corner-pack layout's
+whole point is that the step actually touches ~8 MB of those
+operands. Treat t_hbm as honest only for phases with no
+gather/scatter; the binding constraints on the residual are gather
+ISSUE RATE (~300k 8-wide rows/step in cost_mapping) and VPU
+elementwise chains, which no byte count models.
 
 Usage: python tools/sol_analysis.py [--time]   (run on the TPU)
 """

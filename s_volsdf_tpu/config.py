@@ -169,6 +169,12 @@ class TrainConfig:
     # reference), so sub-interval precision is irrelevant; eval/plot
     # renders are untouched and stay f32.
     feedback_render_dtype: str = "float32"
+    # Checkpoint format (utils/checkpoint.py): 'npz' (default — ~2 MB
+    # states, zero dependency surface) or 'orbax' (atomic directory
+    # commits, named leaves, multi-host coordination; SURVEY.md §7
+    # step 7). Loads auto-detect, so a run may switch between
+    # restarts.
+    ckpt_backend: str = "npz"
 
 
 @dataclass(unsafe_hash=True)
@@ -405,6 +411,8 @@ def validate_config(cfg: Config) -> Config:
         cfg.mvs.compute_dtype
     assert cfg.train.feedback_render_dtype in ("float32", "bfloat16"), \
         cfg.train.feedback_render_dtype
+    assert cfg.train.ckpt_backend in ("npz", "orbax"), \
+        cfg.train.ckpt_backend
     return cfg
 
 

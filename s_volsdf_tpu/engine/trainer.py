@@ -187,7 +187,8 @@ class VolTrainer:
         rng_state = [int(x) for x in np.asarray(self.rng).ravel()] \
             if hasattr(self, "rng") else None
         ckpt.save_state(os.path.join(self.checkpoints_path, label),
-                        self.state, epoch=self.epoch, rng=rng_state)
+                        self.state, backend=self.cfg.train.ckpt_backend,
+                        epoch=self.epoch, rng=rng_state)
 
     def load_checkpoint(self, label: str = "latest"):
         path = os.path.join(self.checkpoints_path, label)

@@ -113,3 +113,59 @@ def test_resume_from_epoch_snapshot(trained):
     # And resuming from it trains onward.
     tr2.run(6, log_every=1000)
     assert int(tr2.state.iter_step) == 21
+
+
+def test_orbax_backend_roundtrip_and_cross_restore(trained, tmp_path):
+    """The orbax backend (SURVEY.md section 7 step 7; atomic commits,
+    named leaves) stores the SAME TrainState and restores it
+    bit-for-bit through either load path: backend auto-detection must
+    let a run switch train.ckpt_backend between restarts."""
+    from s_volsdf_tpu.utils import checkpoint as ckpt
+
+    cfg, scene, root, tr = trained
+    state = tr.state
+
+    p_orbax = str(tmp_path / "orbax_ck")
+    ckpt.save_state(p_orbax, state, backend="orbax", epoch=7,
+                    rng=[1, 2])
+    restored, meta = ckpt.load_state(p_orbax, state)   # auto-detect
+    assert meta == {"epoch": 7, "rng": [1, 2]}
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # npz written next to it restores identically (same contract).
+    p_npz = str(tmp_path / "npz_ck")
+    ckpt.save_state(p_npz, state, backend="npz", epoch=7, rng=[1, 2])
+    r2, _ = ckpt.load_state(p_npz, state)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(r2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Overwrite in place (the "latest" pattern) must not fail or
+    # corrupt: orbax stages + atomically renames.
+    ckpt.save_state(p_orbax, state, backend="orbax", epoch=8)
+    _, meta2 = ckpt.load_state(p_orbax, state)
+    assert meta2["epoch"] == 8
+
+    with pytest.raises(ValueError, match="unknown ckpt backend"):
+        ckpt.save_state(str(tmp_path / "x"), state, backend="hdf5")
+
+
+def test_orbax_backend_resume_through_trainer(trained, tmp_path):
+    """train.ckpt_backend='orbax' end-to-end: the trainer saves via
+    orbax and a fresh trainer resumes from it (load auto-detects)."""
+    import dataclasses
+
+    cfg, scene, root, tr = trained
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ckpt_backend="orbax"))
+    tr2 = VolTrainer(cfg2, scene, "scan106",
+                     exps_root=str(tmp_path / "exps"), chunk_steps=15)
+    tr2.run(15, log_every=1000)
+    assert os.path.isdir(os.path.join(tr2.checkpoints_path, "latest",
+                                      "orbax"))
+    tr3 = VolTrainer(cfg2, scene, "scan106",
+                     exps_root=str(tmp_path / "exps"), is_continue=True)
+    assert int(tr3.state.iter_step) == 15
+    for a, b in zip(jax.tree.leaves(tr2.state.params),
+                    jax.tree.leaves(tr3.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -181,6 +181,8 @@ OUR_EXTRAS = {
     "train.train_compute_dtype",  # bf16 MXU training dots
     "train.train_activation_dtype",  # bf16 training activations
     "train.feedback_render_dtype",   # cascade-feedback render precision
+    "train.ckpt_backend",        # npz | orbax checkpoint format
+                                 # (SURVEY §7 step 7)
     "model.compute_dtype",       # eval-path precision
     "model.activation_dtype",    # eval-path activation precision
     "model.white_bkgd",          # VolSDF-upstream option the reference

@@ -10,7 +10,9 @@ depth from every train view, and run the REAL Chamfer protocol
 = eval_dtu.py:105-166 semantics) against the analytic GT sphere —
 with the torch reference's own RNG-stream noise floor measured at the
 same scale, so the cross-framework gap is reported against its noise
-band (BASELINE.md 5%-of-reference bar).
+band (BASELINE.md 5%-of-reference bar). `--torch-arms N` (default 2)
+trains N independent torch streams: the gap is scored against their
+MEAN and the noise band is the worst arm's deviation from that mean.
 
 Both arms train with the SAME informative MVS probability volumes
 (data/synthetic.py:gt_prob_volume) and the production GCE weights
@@ -56,7 +58,14 @@ def main():
                          "volumes (production stage-0 quarter-res "
                          "analog)")
     ap.add_argument("--prior-noise-mm", type=float, default=2.5)
+    ap.add_argument("--torch-arms", type=int, default=2,
+                    help="independent-RNG-stream torch runs; >=2. More "
+                         "arms tighten both the reference center (the "
+                         "gap is scored against the arm MEAN) and the "
+                         "stream-noise estimate (max arm deviation "
+                         "from that mean)")
     args = ap.parse_args()
+    assert args.torch_arms >= 2, "need >=2 torch arms for a noise band"
     H, W = (int(x) for x in args.res.split(","))
 
     import jax
@@ -138,20 +147,23 @@ def main():
         uv, rgb = sample_rays(scene, rng_np, view, args.rays)
         batches.append((view, uv, rgb))
 
-    print(f"[{time.strftime('%H:%M:%S')}] torch run A ({args.steps} steps, "
-          f"use_mvs={use_mvs})", flush=True)
-    t0 = time.time()
-    model = _train_torch(model, cfg, scene, batches, stream_seed=100,
-                         mvs=torch_mvs)
-    t_torch = time.time() - t0
-    print(f"  {t_torch:.0f}s", flush=True)
-
-    print(f"[{time.strftime('%H:%M:%S')}] torch run B (RNG-stream noise "
-          f"control)", flush=True)
-    model_b = _build_reference_model()
-    model_b.load_state_dict(sd0)
-    model_b = _train_torch(model_b, cfg, scene, batches, stream_seed=200,
-                           mvs=torch_mvs)
+    arm_names = [f"torch_{chr(ord('a') + i)}"
+                 for i in range(args.torch_arms)]
+    torch_models = []
+    t_torch = 0.0
+    for i, name in enumerate(arm_names):
+        print(f"[{time.strftime('%H:%M:%S')}] {name} ({args.steps} steps, "
+              f"use_mvs={use_mvs}, stream_seed={100 * (i + 1)})",
+              flush=True)
+        m = model if i == 0 else _build_reference_model()
+        if i > 0:
+            m.load_state_dict(sd0)
+        t0 = time.time()
+        m = _train_torch(m, cfg, scene, batches,
+                         stream_seed=100 * (i + 1), mvs=torch_mvs)
+        t_torch = time.time() - t0
+        print(f"  {t_torch:.0f}s", flush=True)
+        torch_models.append(m)
 
     print(f"[{time.strftime('%H:%M:%S')}] ours (same init via converter, "
           f"same batches)", flush=True)
@@ -207,12 +219,11 @@ def main():
         "gt_depth": cloud_of(lambda v: np.where(      # plumbing control:
             np.isfinite(scene.depths[v]),             # analytic depth must
             scene.depths[v], 0.0)),                   # score ~0 mm
-        "torch_a": cloud_of(lambda v: _torch_depth_map(model, scene, v,
-                                                       (H, W))),
-        "torch_b": cloud_of(lambda v: _torch_depth_map(model_b, scene, v,
-                                                       (H, W))),
-        "ours": cloud_of(ours_depth),
     }
+    for name, m in zip(arm_names, torch_models):
+        clouds[name] = cloud_of(
+            lambda v, m=m: _torch_depth_map(m, scene, v, (H, W)))
+    clouds["ours"] = cloud_of(ours_depth)
 
     # ---- GT cloud: uniform sphere samples restricted to the region
     # observed by the train cameras (the ObsMask analog,
@@ -255,14 +266,26 @@ def main():
               f"overall={overall:.4f} radial={radial.mean():.4f} mm "
               f"({len(data)} pts)", flush=True)
 
-    ta, tb, ours = (results["torch_a"]["overall_mm"],
-                    results["torch_b"]["overall_mm"],
-                    results["ours"]["overall_mm"])
-    noise_band = abs(tb - ta) / ta
-    gap = abs(ours - ta) / ta
-    ra, rb, ro = (results["torch_a"]["radial_mm"],
-                  results["torch_b"]["radial_mm"],
-                  results["ours"]["radial_mm"])
+    # The reference center is the MEAN over the torch arms; the
+    # stream-noise allowance is the worst arm's own deviation from
+    # that mean (what an independent torch re-run can differ by).
+    # Legacy vs-arm-A numbers are kept for continuity with earlier
+    # committed results.
+    def stats(key):
+        arms = np.array([results[n][key] for n in arm_names])
+        ours_v = results["ours"][key]
+        mean = float(arms.mean())
+        return {
+            "torch_mean": mean,
+            "gap_vs_mean": abs(ours_v - mean) / mean,
+            "noise_vs_mean": float(np.abs(arms - mean).max() / mean),
+            "gap_vs_a": abs(ours_v - arms[0]) / arms[0],
+            "noise_vs_a": abs(arms[1] - arms[0]) / arms[0],
+        }
+
+    ov, rad = stats("overall_mm"), stats("radial_mm")
+    noise_band = ov["noise_vs_mean"]
+    gap = ov["gap_vs_mean"]
     out = {
         "protocol": {"img_res": [H, W], "steps": args.steps,
                      "rays_per_step": args.rays,
@@ -278,10 +301,18 @@ def main():
                      "model": "converted shared init, 5x64 SDF + 3x64 RGB",
                      "gt": f"{int(visible.sum())} visible sphere samples"},
         "results": results,
+        "torch_arms": len(arm_names),
+        "torch_mean_overall_mm": round(ov["torch_mean"], 4),
         "cross_framework_gap_pct": round(100 * gap, 2),
         "torch_stream_noise_pct": round(100 * noise_band, 2),
-        "radial_gap_pct": round(100 * abs(ro - ra) / ra, 2),
-        "radial_noise_pct": round(100 * abs(rb - ra) / ra, 2),
+        "radial_gap_pct": round(100 * rad["gap_vs_mean"], 2),
+        "radial_noise_pct": round(100 * rad["noise_vs_mean"], 2),
+        "legacy_vs_arm_a": {
+            "gap_pct": round(100 * ov["gap_vs_a"], 2),
+            "noise_pct": round(100 * ov["noise_vs_a"], 2),
+            "radial_gap_pct": round(100 * rad["gap_vs_a"], 2),
+            "radial_noise_pct": round(100 * rad["noise_vs_a"], 2),
+        },
         "bar_pct": 5.0,
         "within_bar": bool(gap <= 0.05 + noise_band),
         "wall_s": {"torch_per_run": round(t_torch, 1),

@@ -501,20 +501,23 @@ def test_volsdf_training_parity(trained_pair):
     tolerances (VERDICT r2 item 6).
 
     Measurements on this exact fixture (150 steps x 64 rays, seed-0
-    init, f32 both sides, grad-clip both sides; mean eval depth 4.86):
+    init, f32 both sides, grad-clip both sides; mean eval depth 4.86),
+    re-measured after the converter aliasing fix
+    (test_convert_decouples_from_live_module — the original 0.0057
+    figure was taken while the "shared init" silently tracked torch
+    arm A's in-place updates):
       * torch-vs-torch, RNG stream only:       0.0008 mean |d-depth|
       * jax-vs-jax, RNG stream only:           0.0007
       * jax-vs-jax, ray-order permutation
         (pure f32 reduction-order rounding):   0.0007
-      * ours-vs-torch (same init/batches):     0.0057  (= 0.12% of
-        depth; losses track throughout, 0.466 -> ~0.024 both sides;
-        param divergence grows smoothly with no jumps)
-    The cross-framework gap sits ~7x above the single-framework noise
+      * ours-vs-torch (same init/batches):     0.0042 vs A / 0.0040
+        vs B (= 0.086% of depth)
+    The cross-framework gap sits ~5x above the single-framework noise
     envelopes — residual systematic drift from differently-distributed
     sampler draws and op orderings, NOT a layout/semantics bug: the
     transposed-weight canary (below) produces gaps orders of magnitude
     larger, and 1-step losses agree to 4 decimals. Gate: 0.3% of mean
-    depth, ~2.5x the measured drift and ~20x the noise floor.
+    depth, ~3.5x the measured drift and ~20x the noise floor.
     BASELINE.md's 5% Chamfer bar applies to the full 100k-step
     production protocol on real DTU data, which this environment
     cannot run (PARITY.md known limits); at fixture scale the

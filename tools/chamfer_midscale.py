@@ -173,16 +173,37 @@ def main():
             assert (rp["prior"]["ndepth"] == args.ndepth
                     and rp["prior"]["noise_mm"] == args.prior_noise_mm), \
                 "reused torch arms used a different prior"
-        arm_names = sorted(n for n in reused["results"]
-                           if n.startswith("torch_"))
-        assert len(arm_names) >= 2
+        reused_names = sorted(n for n in reused["results"]
+                              if n.startswith("torch_"))
+        assert len(reused_names) >= 2
+        print(f"[{time.strftime('%H:%M:%S')}] reusing "
+              f"{len(reused_names)} torch arm metrics from "
+              f"{args.reuse_torch}", flush=True)
+        # --torch-arms above the reused count trains ADDITIONAL arms,
+        # continuing the stream-seed numbering, to tighten the
+        # reference center without re-paying for the reused ones.
+        arm_names = [f"torch_{chr(ord('a') + i)}"
+                     for i in range(max(args.torch_arms,
+                                        len(reused_names)))]
+        fresh_names = arm_names[len(reused_names):]
         torch_models = []
         t_torch = reused["wall_s"]["torch_per_run"]
-        print(f"[{time.strftime('%H:%M:%S')}] reusing {len(arm_names)} "
-              f"torch arm metrics from {args.reuse_torch}", flush=True)
+        for i, name in enumerate(fresh_names, start=len(reused_names)):
+            print(f"[{time.strftime('%H:%M:%S')}] {name} ({args.steps} "
+                  f"steps, use_mvs={use_mvs}, stream_seed={100 * (i + 1)})",
+                  flush=True)
+            m = _build_reference_model()
+            m.load_state_dict(sd0)
+            t0 = time.time()
+            m = _train_torch(m, cfg, scene, batches,
+                             stream_seed=100 * (i + 1), mvs=torch_mvs)
+            t_torch = time.time() - t0
+            print(f"  {t_torch:.0f}s", flush=True)
+            torch_models.append(m)
     else:
         arm_names = [f"torch_{chr(ord('a') + i)}"
                      for i in range(args.torch_arms)]
+        reused_names, fresh_names = [], arm_names
         torch_models = []
         t_torch = 0.0
         for i, name in enumerate(arm_names):
@@ -266,7 +287,7 @@ def main():
             np.isfinite(scene.depths[v]),             # analytic depth must
             scene.depths[v], 0.0)),                   # score ~0 mm
     }
-    for name, m in zip(arm_names, torch_models):
+    for name, m in zip(fresh_names, torch_models):
         clouds[name] = cloud_of(
             lambda v, m=m: _torch_depth_map(m, scene, v, (H, W)))
     for oname, st in zip(ours_names, ours_states):
@@ -313,7 +334,7 @@ def main():
               f"overall={overall:.4f} radial={radial.mean():.4f} mm "
               f"({len(data)} pts)", flush=True)
     if reused is not None:
-        for n in arm_names:
+        for n in reused_names:
             results[n] = reused["results"][n]
             print(f"  {n:8s} overall={results[n]['overall_mm']:.4f} mm "
                   f"(reused from {args.reuse_torch})", flush=True)

@@ -76,6 +76,11 @@ def main():
                          "torch_* arm metrics instead of retraining "
                          "(protocol fields must match; torch training "
                          "is ~2x our wall-clock per arm)")
+    ap.add_argument("--reuse-ours", default=None,
+                    help="path to a previous output JSON: reuse its "
+                         "ours* arm metrics; --ours-arms above the "
+                         "reused count trains ADDITIONAL arms, "
+                         "continuing the stream-key numbering")
     args = ap.parse_args()
     assert args.torch_arms >= 2 or args.reuse_torch, \
         "need >=2 torch arms for a noise band"
@@ -160,19 +165,23 @@ def main():
         uv, rgb = sample_rays(scene, rng_np, view, args.rays)
         batches.append((view, uv, rgb))
 
-    reused = None
-    if args.reuse_torch:
-        with open(args.reuse_torch) as f:
-            reused = json.load(f)
-        rp = reused["protocol"]
+    def _load_reused(path, what):
+        with open(path) as f:
+            prev = json.load(f)
+        rp = prev["protocol"]
         assert (rp["img_res"] == [H, W] and rp["steps"] == args.steps
                 and rp["rays_per_step"] == args.rays
                 and rp["use_mvs"] == use_mvs), \
-            "reused torch arms were measured under a different protocol"
+            f"reused {what} arms were measured under a different protocol"
         if use_mvs:
             assert (rp["prior"]["ndepth"] == args.ndepth
                     and rp["prior"]["noise_mm"] == args.prior_noise_mm), \
-                "reused torch arms used a different prior"
+                f"reused {what} arms used a different prior"
+        return prev
+
+    reused = None
+    if args.reuse_torch:
+        reused = _load_reused(args.reuse_torch, "torch")
         reused_names = sorted(n for n in reused["results"]
                               if n.startswith("torch_"))
         assert len(reused_names) >= 2
@@ -220,12 +229,35 @@ def main():
             print(f"  {t_torch:.0f}s", flush=True)
             torch_models.append(m)
 
-    ours_names = ["ours"] + [f"ours_{chr(ord('b') + j)}"
-                             for j in range(args.ours_arms - 1)]
+    def _ours_arm_names(n):
+        return ["ours"] + [f"ours_{chr(ord('b') + j)}" for j in range(n - 1)]
+
+    reused_ours = None
+    reused_ours_names = []
+    total_ours = args.ours_arms
+    if args.reuse_ours:
+        reused_ours = _load_reused(args.reuse_ours, "ours")
+        # Reused arms must be a contiguous prefix of the stream-key
+        # ordering (arm j's key is PRNGKey(5 + 1000*j)) so fresh arms
+        # continue the numbering with no gaps.
+        have = set(n for n in reused_ours["results"]
+                   if n == "ours" or n.startswith("ours_"))
+        reused_ours_names = _ours_arm_names(len(have))
+        assert have == set(reused_ours_names), \
+            f"reused ours arms are not a contiguous prefix: {sorted(have)}"
+        total_ours = max(args.ours_arms, len(reused_ours_names))
+        print(f"[{time.strftime('%H:%M:%S')}] reusing "
+              f"{len(reused_ours_names)} ours arm metrics from "
+              f"{args.reuse_ours}", flush=True)
+    ours_names = _ours_arm_names(total_ours)
+    fresh_ours_names = ours_names[len(reused_ours_names):]
     ours_states = []
     tx = make_optimizer(cfg)
-    t_ours = 0.0
+    t_ours = (reused_ours["wall_s"]["ours"] if reused_ours is not None
+              else 0.0)
     for j, oname in enumerate(ours_names):
+        if oname not in fresh_ours_names:
+            continue
         # Arm A keeps the historical PRNGKey(5); later arms take
         # widely-spaced stream seeds (the analog of the torch arms'
         # stream_seed=100*(i+1) over the same shared pixel batches).
@@ -290,7 +322,7 @@ def main():
     for name, m in zip(fresh_names, torch_models):
         clouds[name] = cloud_of(
             lambda v, m=m: _torch_depth_map(m, scene, v, (H, W)))
-    for oname, st in zip(ours_names, ours_states):
+    for oname, st in zip(fresh_ours_names, ours_states):
         clouds[oname] = cloud_of(ours_depth(st))
 
     # ---- GT cloud: uniform sphere samples restricted to the region
@@ -338,6 +370,11 @@ def main():
             results[n] = reused["results"][n]
             print(f"  {n:8s} overall={results[n]['overall_mm']:.4f} mm "
                   f"(reused from {args.reuse_torch})", flush=True)
+    if reused_ours is not None:
+        for n in reused_ours_names:
+            results[n] = reused_ours["results"][n]
+            print(f"  {n:8s} overall={results[n]['overall_mm']:.4f} mm "
+                  f"(reused from {args.reuse_ours})", flush=True)
 
     # The reference center is the MEAN over the torch arms; the
     # stream-noise allowance is the worst arm's own deviation from
@@ -382,6 +419,7 @@ def main():
         "torch_arms": len(arm_names),
         "torch_arms_reused_from": args.reuse_torch,
         "ours_arms": len(ours_names),
+        "ours_arms_reused_from": args.reuse_ours,
         "torch_mean_overall_mm": round(ov["torch_mean"], 4),
         "ours_mean_overall_mm": round(ov["ours_mean"], 4),
         "cross_framework_gap_pct": round(100 * gap, 2),

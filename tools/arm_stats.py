@@ -1,0 +1,71 @@
+"""Exact permutation test on cross-framework Chamfer arm sets.
+
+Reads a chamfer_midscale output JSON holding N torch arms and M ours
+arms (each an independent RNG-stream draw of the same protocol from
+the same shared converted init) and asks the question RUNLOG_R4's
+192x288 section left open: *is the mean-vs-mean gap a systematic
+framework difference, or within what stream noise can produce?*
+
+Under the null (both frameworks draw arm metrics from the same
+distribution), every relabeling of the N+M arms into groups of size
+N and M is equally likely, so the p-value is the exact fraction of
+the C(N+M, N) splits whose |mean difference| is >= the observed one.
+No distributional assumptions — appropriate at these tiny arm counts
+where a t-test's normality assumption is uncheckable.
+
+Usage: python tools/arm_stats.py runs/CHAMFER_MIDSCALE_L_4V5.json
+"""
+import itertools
+import json
+import sys
+
+import numpy as np
+
+
+def perm_test(torch_vals, ours_vals):
+    a = np.asarray(torch_vals, float)
+    b = np.asarray(ours_vals, float)
+    pooled = np.concatenate([a, b])
+    n = len(a)
+    obs = abs(b.mean() - a.mean())
+    idx = range(len(pooled))
+    count = total = 0
+    for comb in itertools.combinations(idx, n):
+        mask = np.zeros(len(pooled), bool)
+        mask[list(comb)] = True
+        d = abs(pooled[~mask].mean() - pooled[mask].mean())
+        # >= with a tiny epsilon so ties (incl. the identity split)
+        # count toward p, keeping the test exact and conservative.
+        count += d >= obs - 1e-12
+        total += 1
+    return obs, count / total, total
+
+
+def main():
+    path = sys.argv[1]
+    with open(path) as f:
+        out = json.load(f)
+    res = out["results"]
+    torch_names = sorted(n for n in res if n.startswith("torch_"))
+    ours_names = sorted(n for n in res if n == "ours"
+                        or n.startswith("ours_"))
+    report = {"file": path, "torch_arms": torch_names,
+              "ours_arms": ours_names}
+    for key in ("overall_mm", "radial_mm"):
+        tv = [res[n][key] for n in torch_names]
+        ov = [res[n][key] for n in ours_names]
+        obs, p, total = perm_test(tv, ov)
+        report[key] = {
+            "torch_mean": round(float(np.mean(tv)), 4),
+            "ours_mean": round(float(np.mean(ov)), 4),
+            "gap_pct": round(100 * abs(np.mean(ov) - np.mean(tv))
+                             / np.mean(tv), 2),
+            "mean_diff_mm": round(float(obs), 4),
+            "perm_p": round(float(p), 4),
+            "n_splits": total,
+        }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

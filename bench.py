@@ -7,7 +7,18 @@ shapes — 512 rays/step, 8x256 SDF MLP, error-bound sampler fast=1
 DTU stage-0 probability volumes (192 x 288 x 384), full loss, Adam,
 NaN guard, on-device pixel sampling.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The probability volumes are INFORMATIVE (data/synthetic.py:
+gt_prob_volume at realistic trained-cascade peakiness), so the GCE
+confidence gate is OPEN and the measured step is the live-gradient
+configuration the production runs actually execute (RUNLOG_R4.md) —
+round 4 benched against uniform-random volumes, i.e. a mostly-closed
+gate (VERDICT r4 weak #5).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+`value` is the MEDIAN of `rounds` independent measurement rounds;
+spread fields (min/max/all rounds) quantify run-to-run variance, which
+on the axon TPU tunnel was observed at ~±8% between identical code
+snapshots (VERDICT r4 weak #1 — see BENCH_NOTES.md variance section).
 vs_baseline compares against the reference PyTorch pipeline's
 estimated single-GPU throughput of ~1740 rays/s (BASELINE.md: 512 rays
 x ~3.4 it/s for the published 100k-step runs; the repo itself
@@ -26,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from s_volsdf_tpu.config import load_config
-from s_volsdf_tpu.data.synthetic import make_sphere_scene
+from s_volsdf_tpu.data.synthetic import gt_prob_volume, make_sphere_scene
 from s_volsdf_tpu.engine.train_step import init_train_state, make_optimizer
 from s_volsdf_tpu.engine.trainer import make_scan_train_fn
 from s_volsdf_tpu.models.network import init_volsdf_params
@@ -45,12 +56,27 @@ def main():
     state = init_train_state(cfg, params, tx)
 
     # DTU stage-0 probability volumes at true shape (D=192, 1152/4 x
-    # 1536/4) per training view.
+    # 1536/4) per training view — informative gt-derived bumps at
+    # trained-cascade peakiness (sigma=1.0 intervals, floor=0.02; the
+    # run_100k.py production-evidence configuration), NOT uniform
+    # noise, so the GCE gate trains open in the measured step.
     D, Hc, Wc = 192, 288, 384
-    prob = jax.random.uniform(jax.random.PRNGKey(1), (3, D, Hc, Wc))
-    prob = prob / prob.sum(axis=1, keepdims=True)
-    z_slab = jnp.stack([jnp.full((3, Hc, Wc), 0.5),
-                        jnp.full((3, Hc, Wc), 5.0)], axis=1)
+    H, W = scene.img_res
+    dvals = np.linspace(0.5, 5.0, D).astype(np.float32)
+    rngp = np.random.default_rng(7)
+    probs = []
+    for v in range(3):
+        Kc = scene.intrinsics[v].copy()
+        Kc[0, :] *= Wc / W
+        Kc[1, :] *= Hc / H
+        prob, _ = gt_prob_volume(scene.poses[v], Kc, (Hc, Wc), dvals,
+                                 scale_factor=1.0, sigma_intervals=1.0,
+                                 floor=0.02, depth_noise=2.5 / 200.0,
+                                 rng=rngp)
+        probs.append(prob)
+    prob = jnp.asarray(np.stack(probs))
+    z_slab = jnp.stack([jnp.full((3, Hc, Wc), float(dvals[0])),
+                        jnp.full((3, Hc, Wc), float(dvals[-1]))], axis=1)
     mvs = MVSVolumes(
         prob=prob, z_slab=z_slab,
         intrinsics=jnp.asarray(scene.intrinsics),
@@ -69,25 +95,33 @@ def main():
 
     n_steps = 200
     rngs = jax.random.split(jax.random.PRNGKey(2), n_steps)
-    # Warmup / compile.
-    state, losses = run_chunk(state, rngs, scene_dev, mvs)
-    np.asarray(losses.loss)
+    # Warmup / compile (two rounds: the first pays compile, the second
+    # warms the dispatch path so round 1 isn't systematically slow).
+    for w in range(2):
+        state, losses = run_chunk(state, rngs, scene_dev, mvs)
+        np.asarray(losses.loss)
 
-    t0 = time.perf_counter()
-    trials = 3
-    for t in range(trials):
+    rounds = 5
+    per_round = []
+    for t in range(rounds):
         key = jax.random.PRNGKey(3 + t)
+        t0 = time.perf_counter()
         state, losses = run_chunk(state, jax.random.split(key, n_steps),
                                   scene_dev, mvs)
         np.asarray(losses.loss)  # host fetch = hard sync
-    dt = time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        per_round.append(n_steps * n_rays / dt)
 
-    rays_per_sec = trials * n_steps * n_rays / dt
+    per_round = sorted(per_round)
+    med = float(np.median(per_round))
     print(json.dumps({
         "metric": "volsdf_opt_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(med, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+        "vs_baseline": round(med / REFERENCE_RAYS_PER_SEC, 2),
+        "rounds": [round(r, 1) for r in per_round],
+        "spread_pct": round(100 * (per_round[-1] - per_round[0]) / med, 2),
+        "gate": "open (gt_prob_volume, sigma=1.0, floor=0.02)",
     }))
 
 

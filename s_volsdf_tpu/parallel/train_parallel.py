@@ -104,6 +104,7 @@ def make_sharded_scan_train_fn(cfg: Config, tx, mesh: Mesh, *,
         return _run(state, rngs, scene, packed)
 
     run_chunk.one_step = one_step
+    run_chunk.jitted = _run  # for HLO inspection (test_parallel)
     return run_chunk
 
 
@@ -218,6 +219,7 @@ def make_sharded_scene_ray_train_fn(cfg: Config, tx, mesh: Mesh, *,
         return _run(states, rngs, scenes, mvs)
 
     run_chunk.one_step = one_step
+    run_chunk.jitted = _run  # for HLO inspection (test_parallel)
     return run_chunk
 
 
@@ -269,4 +271,5 @@ def make_sharded_multiscene_train_fn(cfg: Config, tx, mesh: Mesh, *,
             mvs = jax.device_put(mvs, NamedSharding(mesh, spec))
         return _run(states, rngs, scenes, mvs)
 
+    run_chunk.jitted = _run  # for HLO inspection (test_parallel)
     return run_chunk

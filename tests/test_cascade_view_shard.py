@@ -110,3 +110,45 @@ def test_stage_all_views_matches_serial(fixture_root, model):
                     np.asarray(a), np.asarray(b), atol=1e-5,
                     err_msg=f"{model} stage{stage} view{i} extra"),
                 p_ex[i], s_ex[i])
+
+
+def test_cascade_hlo_zero_collectives(fixture_root):
+    """The view-sharded cascade stage program (stage_all_views) is
+    embarrassingly parallel: its compiled HLO must contain ZERO
+    collective ops (docs/SCALING.md 'view' row; companion to
+    test_parallel.py::test_hlo_collective_contract_train_render_scene).
+    Captures the cached jit + its real args via a recording dict."""
+    from s_volsdf_tpu.engine.runner import MVSEngine, run_mvs_stage
+    from tests.test_parallel import _collective_counts
+
+    data_root = os.path.join(fixture_root, "data")
+    cfg = load_config("dtu", overrides=[
+        "data_dir_root=" + data_root,
+        "dataset.data_dir_root=" + data_root,
+        "max_h=64", "max_w=96", "dataset.img_res=[64,96]",
+        "mvs.model_name=casmvsnet",
+        "mvs.ndepths=[16,8,8]", "mvs.numdepth=16",
+        "mvs.x2_mvsres=false",
+        "parallel.shard_eval=true",
+    ])
+    engine = MVSEngine(cfg)
+    captured = {}
+
+    class Recording(dict):
+        def __getitem__(self, key):
+            fn = super().__getitem__(key)
+            if isinstance(key, tuple) and key and key[0] == "all_views":
+                def wrapper(*args, fn=fn, key=key):
+                    captured[key] = (fn, args)
+                    return fn(*args)
+                return wrapper
+            return fn
+
+    engine._stage_jit = Recording(engine._stage_jit)
+    sc = _make_sc(cfg, fixture_root)
+    run_mvs_stage(cfg, engine, sc, 0)
+    assert captured, "stage_all_views dispatch was not exercised"
+    (fn, args), = captured.values()
+    hlo = fn.lower(*args).compile().as_text()
+    counts = _collective_counts(hlo)
+    assert sum(counts.values()) == 0, counts

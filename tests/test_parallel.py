@@ -465,3 +465,133 @@ def test_single_device_loop_accepts_view_mesh_volumes(setup):
     st, losses = run_chunk(state, jax.random.split(jax.random.PRNGKey(1), 2),
                            scene_dev, mvs)
     assert np.all(np.isfinite(np.asarray(losses.loss)))
+
+
+# --------------------------------------------------------------------------
+# Collective-traffic contract in compiled HLO (docs/SCALING.md table):
+# ONE all-reduce per training step, ZERO collectives everywhere else.
+# A GSPMD or refactor regression that silently adds cross-chip traffic
+# fails here, not in a pod-scale profile.
+# --------------------------------------------------------------------------
+
+def _collective_counts(hlo_text):
+    """Count collective INSTRUCTIONS in optimized HLO text (excludes
+    computation names / -done halves of async pairs)."""
+    import re
+    from collections import Counter
+    names = re.findall(
+        r"= \S+ (all-reduce|all-gather|reduce-scatter"
+        r"|collective-permute|all-to-all)(?:-start)?[\w.]*\(",
+        hlo_text)
+    return Counter(names)
+
+
+def _first_all_reduce_group_size(hlo_text):
+    """Group width of the first all-reduce: how many chips exchange."""
+    import re
+    m = re.search(r"all-reduce[\w.-]*\([^\n]*replica_groups="
+                  r"(\{\{[^}]*\}|\[\d+,\d+\]<=\[\d+\])", hlo_text)
+    assert m, "no all-reduce with replica_groups found"
+    g = m.group(1)
+    if g.startswith("{{"):
+        return len(g[2:].split(","))
+    return int(g[1:-1].split("]<=[")[0].split(",")[1])
+
+
+def test_hlo_collective_contract_train_render_scene(setup):
+    """Compile the sharded programs on the 8-device mesh and assert the
+    all-reduce count in HLO: production train chunk (rays mesh,
+    LIVE-MVS configuration) = 1; render = 0; multiscene (scene axis)
+    = 0; 2D scene x rays = 1 riding the rays submesh only."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from s_volsdf_tpu.engine.train_step import pack_for_chunk
+    from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
+    from s_volsdf_tpu.parallel.train_parallel import (
+        make_sharded_scene_ray_train_fn)
+
+    cfg, scene, params, tx, scene_dev = setup
+    cfg_mvs = tiny_cfg(**{"loss.mvs_weight": 1})
+    T = 3
+
+    # --- production 1D ray-sharded train chunk, gate-live MVS ---
+    mesh = make_mesh((-1,), ("rays",))
+    D, Hc, Wc = 8, 6, 8
+    prob = jax.random.uniform(jax.random.PRNGKey(0), (3, D, Hc, Wc))
+    mvs = MVSVolumes(
+        prob=prob / prob.sum(1, keepdims=True),
+        z_slab=jnp.stack([jnp.full((3, Hc, Wc), 0.5),
+                          jnp.full((3, Hc, Wc), 5.0)], axis=1),
+        intrinsics=jnp.asarray(scene.intrinsics),
+        c2w=jnp.asarray(scene.poses),
+        img_res=scene.img_res, inverse_depth=False)
+    packed = jax.device_put(pack_for_chunk(cfg_mvs, mvs),
+                            NamedSharding(mesh, P()))
+    run = make_sharded_scan_train_fn(cfg_mvs, tx, mesh, use_mvs=True,
+                                     n_views=3, img_res=scene.img_res)
+    state = init_train_state(cfg_mvs, params, tx)
+    rngs = jax.random.split(jax.random.PRNGKey(1), T)
+    hlo = run.jitted.lower(state, rngs, scene_dev, packed) \
+        .compile().as_text()
+    counts = _collective_counts(hlo)
+    assert counts["all-reduce"] == 1, counts
+    assert sum(counts.values()) == 1, counts
+    assert _first_all_reduce_group_size(hlo) == 8
+
+    # --- mesh-sharded eval render: ZERO collectives ---
+    from s_volsdf_tpu.engine.render import _depth_chunk, _render_chunk
+    from s_volsdf_tpu.parallel.mesh import ray_sharding, replicated
+
+    uv = jax.device_put(np.zeros((1, 64, 2), np.float32),
+                        ray_sharding(mesh))
+    pose_b = jax.device_put(np.asarray(scene.poses[0])[None],
+                            replicated(mesh))
+    intr_b = jax.device_put(np.asarray(scene.intrinsics[0])[None],
+                            replicated(mesh))
+    params_r = jax.device_put(params, replicated(mesh))
+    for chunk_fn in (_depth_chunk, _render_chunk):
+        hlo = chunk_fn.lower(params_r, uv, pose_b, intr_b,
+                             jax.random.PRNGKey(0), cfg=cfg.model,
+                             fast=1).compile().as_text()
+        counts = _collective_counts(hlo)
+        assert sum(counts.values()) == 0, (chunk_fn, counts)
+
+    # --- scene-sharded multiscene loop: ZERO collectives ---
+    mesh_s = make_mesh((-1,), ("scene",))
+    S = mesh_s.shape["scene"]
+    run_ms = make_sharded_multiscene_train_fn(
+        cfg, tx, mesh_s, use_mvs=False, n_views=3, img_res=scene.img_res)
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[init_train_state(cfg, params, tx) for _ in range(S)])
+    scenes = jax.tree.map(lambda x: jnp.stack([x] * S), scene_dev)
+    rngs_s = jnp.stack([jax.random.split(jax.random.PRNGKey(s), T)
+                        for s in range(S)])
+    states_p = jax.device_put(states, NamedSharding(mesh_s, P("scene")))
+    hlo = run_ms.jitted.lower(states_p, rngs_s, scenes, None) \
+        .compile().as_text()
+    counts = _collective_counts(hlo)
+    assert sum(counts.values()) == 0, counts
+
+    # --- 2D scene x rays loop: ONE all-reduce on the rays submesh ---
+    S2, R2 = 2, 4
+    mesh_2d = make_mesh((S2, R2), ("scene", "rays"))
+    run_2d = make_sharded_scene_ray_train_fn(
+        cfg, tx, mesh_2d, use_mvs=False, n_views=3,
+        img_res=scene.img_res)
+    states2 = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[init_train_state(cfg, params, tx) for _ in range(S2)])
+    scenes2 = jax.tree.map(lambda x: jnp.stack([x] * S2), scene_dev)
+    rngs2 = jnp.stack([jax.random.split(jax.random.PRNGKey(s), T)
+                       for s in range(S2)])
+    states2_p = jax.device_put(states2,
+                               NamedSharding(mesh_2d, P("scene")))
+    hlo = run_2d.jitted.lower(states2_p, rngs2, scenes2, None) \
+        .compile().as_text()
+    counts = _collective_counts(hlo)
+    assert counts["all-reduce"] == 1, counts
+    assert sum(counts.values()) == 1, counts
+    # the gradient mean exchanges within each scene's ray slice ONLY:
+    # group width = R2, not the full 8-chip mesh
+    assert _first_all_reduce_group_size(hlo) == R2

@@ -22,11 +22,16 @@ import sys
 import numpy as np
 
 
-def perm_test(torch_vals, ours_vals):
+def perm_test(torch_vals, ours_vals, max_splits=2_000_000):
     a = np.asarray(torch_vals, float)
     b = np.asarray(ours_vals, float)
     pooled = np.concatenate([a, b])
     n = len(a)
+    import math
+    n_splits = math.comb(len(pooled), n)
+    assert n_splits <= max_splits, (
+        f"C({len(pooled)},{n}) = {n_splits} exhaustive splits exceeds "
+        f"{max_splits}; use a Monte Carlo permutation test at this size")
     obs = abs(b.mean() - a.mean())
     idx = range(len(pooled))
     count = total = 0
@@ -49,6 +54,8 @@ def main():
     torch_names = sorted(n for n in res if n.startswith("torch_"))
     ours_names = sorted(n for n in res if n == "ours"
                         or n.startswith("ours_"))
+    assert torch_names and ours_names, (
+        f"{path} has no torch_*/ours arm rows — wrong file?")
     report = {"file": path, "torch_arms": torch_names,
               "ours_arms": ours_names}
     for key in ("overall_mm", "radial_mm"):

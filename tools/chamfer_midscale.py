@@ -171,7 +171,8 @@ def main():
         rp = prev["protocol"]
         assert (rp["img_res"] == [H, W] and rp["steps"] == args.steps
                 and rp["rays_per_step"] == args.rays
-                and rp["use_mvs"] == use_mvs), \
+                and rp["use_mvs"] == use_mvs
+                and rp["world_scale"] == args.world_scale), \
             f"reused {what} arms were measured under a different protocol"
         if use_mvs:
             assert (rp["prior"]["ndepth"] == args.ndepth

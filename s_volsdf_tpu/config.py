@@ -130,6 +130,20 @@ class LossConfig:
     confi: float = 1e-3
     gce: float = 0.5
     anneal_rgb: int = 200
+    # --- gate rescue (TPU-build extra, OFF by default) -------------
+    # Survivable failure mode for the GCE anneal-boundary collapse
+    # (RUNLOG_BMVS.md): when a bad stream dumps all foreground mass
+    # into the background, every ray sample leaves the hypothesis slab,
+    # pi*pj == 0 exactly, and the reference gate (loss.py:61-67) can
+    # never re-open — the GCE gradient is identically zero. With
+    # gate_rescue on, rays whose gate is CLOSED but whose prior is
+    # informative (per-pixel WTA peak > gate_rescue_peak) get an L1
+    # pull of rendered depth toward the prior's WTA depth at that
+    # pixel; once samples re-enter the slab the gate re-opens and the
+    # rescue term self-disables per ray (complementary gating).
+    gate_rescue: bool = False
+    gate_rescue_weight: float = 0.1
+    gate_rescue_peak: float = 0.02
 
 
 @dataclass(unsafe_hash=True)

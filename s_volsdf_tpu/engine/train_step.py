@@ -84,6 +84,16 @@ def _loss_fn(params, cfg: Config, batch: Dict, rng,
             jax.lax.stop_gradient(out.xyz),
             batch["view_onehot"], mvs)
         outputs["pi"], outputs["pj"] = pi, pj
+        if cfg.loss.gate_rescue:
+            from s_volsdf_tpu.ops.cost_mapping import (PackedVolumes,
+                                                       pack_volumes,
+                                                       prior_depth_anchor)
+            packed = (mvs if isinstance(mvs, PackedVolumes)
+                      else pack_volumes(mvs))
+            anchor, peak = prior_depth_anchor(
+                batch["uv"].reshape(-1, 2), batch["view_onehot"], packed)
+            outputs["prior_anchor"] = anchor
+            outputs["prior_peak"] = peak
     loss_out = compute_loss(
         cfg.loss, outputs, batch["rgb"], batch.get("rgb_smooth", batch["rgb"]),
         iter_step, use_mvs=use_mvs)

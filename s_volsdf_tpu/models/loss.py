@@ -23,6 +23,9 @@ class LossOutput(NamedTuple):
     mvs_loss: jnp.ndarray
     sparse_loss: jnp.ndarray
     psnr: jnp.ndarray
+    # Gate-rescue depth-anchor loss (loss.gate_rescue, TPU-build extra;
+    # stays the scalar 0.0 with the flag off — see _gate_rescue).
+    rescue_loss: jnp.ndarray = None
     # 1.0 when the NaN/Inf gradient guard accepted the update, 0.0 when
     # it skipped (set by engine.train_step.guarded_update; None before
     # the guard runs). Lets long runs count guard trips (the reference
@@ -71,6 +74,21 @@ def _sparse(pi, pj, depth, confi_thresh: float):
     return jnp.mean(per_ray * (confi < confi_thresh))
 
 
+def _gate_rescue(pi, pj, depth, anchor, peak, confi_thresh: float,
+                 peak_thresh: float):
+    """Recovery pull for gate-closed rays (config.LossConfig rationale):
+    L1 of rendered depth to the prior's WTA depth, only where the GCE
+    gate is CLOSED (complement of loss.py:66's `pw.sum > confi`) AND
+    the prior is informative (WTA peak above threshold). Zero gradient
+    interference with the reference path: on every gate-open ray the
+    term is exactly 0."""
+    conf = jnp.sum(pi * pj, axis=-1)
+    closed = (conf <= confi_thresh).astype(depth.dtype)
+    informative = (peak > peak_thresh).astype(depth.dtype)
+    per_ray = jnp.abs(depth.squeeze() - anchor)
+    return jnp.mean(closed * informative * per_ray)
+
+
 def compute_loss(cfg: LossConfig, outputs: Dict, rgb_gt, rgb_smooth,
                  iter_step, *, use_mvs: bool) -> LossOutput:
     """Total loss (loss.py:80-114).
@@ -113,12 +131,26 @@ def compute_loss(cfg: LossConfig, outputs: Dict, rgb_gt, rgb_smooth,
             outputs["pi"], outputs["pj"], t=1e-8)
         rgb_loss = jnp.where(in_anneal, rgb_loss_anneal, rgb_loss)
 
+    rescue_loss = zero
+    if use_mvs and cfg.gate_rescue:
+        rescue_depth = outputs.get("depth_values_all",
+                                   outputs["depth_values"])
+        rescue_loss = _gate_rescue(
+            outputs["pi"], outputs["pj"], rescue_depth,
+            outputs["prior_anchor"], outputs["prior_peak"],
+            cfg.confi, cfg.gate_rescue_peak)
+
     total = (cfg.rgb_weight * rgb_loss
              + cfg.eikonal_weight * eik_loss
              + cfg.mvs_weight * mvs_loss
              + cfg.sparse_weight * anneal_sparse * sparse_loss)
+    if use_mvs and cfg.gate_rescue:
+        # Python-level gate: with the flag off the traced graph (and
+        # therefore the default-path trajectory) is bit-identical.
+        total = total + cfg.gate_rescue_weight * rescue_loss
 
     mse = jnp.mean((rgb_values - rgb_gt) ** 2)
     psnr = -10.0 * jnp.log(mse) / jnp.log(10.0)
 
-    return LossOutput(total, rgb_loss, eik_loss, mvs_loss, sparse_loss, psnr)
+    return LossOutput(total, rgb_loss, eik_loss, mvs_loss, sparse_loss,
+                      psnr, rescue_loss=rescue_loss)

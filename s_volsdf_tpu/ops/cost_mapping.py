@@ -242,6 +242,86 @@ def _sample_all_views(xyz, packed: PackedVolumes):
     return cost.reshape(shape), ~invalid_f.reshape(shape)
 
 
+def prior_depth_anchor(uv, view_onehot, packed: PackedVolumes):
+    """Per-ray prior WTA depth + peak from the ray's OWN view volume.
+
+    Gate-rescue support (loss.gate_rescue, a TPU-build extra — off by
+    default): when a training collapse drives every ray sample out of
+    the hypothesis slab, pi*pj == 0 exactly and the GCE loss loses all
+    gradient (the reference gate, loss.py:61-67, can never re-open).
+    The anchor is a recovery target that does NOT depend on the current
+    sample positions: the prior's winner-take-all depth at the ray's
+    own pixel (reference module.py:475-479 depth_wta semantics) plus
+    its peak probability, so uninformative pixels can be masked out.
+
+    uv: (R, 2) pixel coords in the VolSDF (H, W) grid.
+    view_onehot: (V,) float, 1.0 at this batch's training view.
+    Returns (anchor (R,), peak (R,)) f32 — anchor in the slab's
+    z-depth (scale-normalized) units; peak is 0 where the pixel's
+    near/far planes are degenerate.
+    """
+    Dv = packed.n_depth
+    Hv, Wv = packed.vol_res
+    H, W = packed.img_res
+    view_idx = jnp.argmax(view_onehot).astype(jnp.int32)
+
+    x = uv[:, 0] * ((Wv - 1) / (W - 1))      # align_corners=True rescale
+    y = uv[:, 1] * ((Hv - 1) / (H - 1))
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    xs = jnp.clip(x0, 0, Wv - 1)
+    ys = jnp.clip(y0, 0, Hv - 1)
+    sx = x0 - xs
+    sy = y0 - ys
+    wx = x - x0
+    wy = y - y0
+    pix_idx = ys * Wv + xs                               # (R,)
+
+    # Bilinear near/far at the pixel (same slot layout as the sampler).
+    blk_nf = jnp.take(packed.nf8.reshape(-1, 8),
+                      pix_idx + view_idx * (Hv * Wv), axis=0)
+    blk_nf = blk_nf.reshape(-1, 2, 2, 2)                 # (R, by, bx, nf)
+    nfv = 0.0
+    for by in (0, 1):
+        for bx in (0, 1):
+            w = _corner_wgt(by - sy, wy) * _corner_wgt(bx - sx, wx)
+            nfv = nfv + blk_nf[:, by, bx] * w[..., None]
+    near, far = nfv[..., 0], nfv[..., 1]
+
+    # Bilinear D-profile: rows pix*D + z of the own view's vol8; the
+    # bz=0 slots ((by*2+bx)*2) are the unshifted-z corner values.
+    zrange = jnp.arange(Dv, dtype=jnp.int32)
+    rows = (pix_idx[:, None] * Dv + zrange[None, :]
+            + view_idx * (Hv * Wv * Dv))                 # (R, D)
+    blk = jnp.take(packed.vol8.reshape(-1, 8), rows.reshape(-1), axis=0)
+    blk = blk.reshape(-1, Dv, 8).astype(jnp.float32)     # (R, D, 8)
+    prof = 0.0
+    for by in (0, 1):
+        for bx in (0, 1):
+            w = _corner_wgt(by - sy, wy) * _corner_wgt(bx - sx, wx)
+            prof = prof + blk[:, :, (by * 2 + bx) * 2] * w[:, None]
+
+    # Per-pixel hypothesis grid between near/far (linear, or uniform in
+    # 1/z for the stage-0 unbounded variant — matching cost_mapping's
+    # slab normalization, vsdf.py:426-432).
+    frac = zrange.astype(jnp.float32) / max(Dv - 1, 1)
+    if packed.inverse_depth:
+        near_s = jnp.where(near < 1e-5, 1e-8, near)
+        far_s = jnp.where(far < 1e-5, 1e-8, far)
+        inv = (1.0 / near_s)[:, None] + frac[None, :] * (
+            1.0 / far_s - 1.0 / near_s)[:, None]
+        zgrid = 1.0 / inv
+    else:
+        zgrid = near[:, None] + frac[None, :] * (far - near)[:, None]
+
+    dstar = jnp.argmax(prof, axis=1)
+    anchor = jnp.take_along_axis(zgrid, dstar[:, None], axis=1)[:, 0]
+    peak = jnp.max(prof, axis=1)
+    valid = (near > 1e-5) & (far > 1e-5)
+    return (jnp.where(valid, anchor, 0.0),
+            jnp.where(valid, peak, 0.0))
+
+
 def cost_mapping(z_vals, xyz, view_onehot,
                  mvs: Union[MVSVolumes, PackedVolumes]):
     """Project all ray samples into all views and sample probabilities.

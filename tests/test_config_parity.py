@@ -196,6 +196,9 @@ OUR_EXTRAS = {
     "parallel.shard_rays",
     "parallel.shard_eval",
     "parallel.shard_mvs_views",
+    "loss.gate_rescue",          # GCE anneal-collapse recovery (off by
+    "loss.gate_rescue_weight",   # default; PARITY.md TPU-build extras)
+    "loss.gate_rescue_peak",
     "model.sampler.inverse_sphere_bg",  # reference infers NeRF++ sampling
                                         # from model_class; we make the
                                         # switch explicit

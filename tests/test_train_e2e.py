@@ -417,3 +417,187 @@ def test_bmvs_gt_prior_keeps_gce_gate_open_past_anneal():
     open_frac = (post > 1e-6).mean()
     assert open_frac > 0.5, \
         f"GCE gate mostly closed post-anneal ({open_frac:.0%})"
+
+
+# --------------------------------------------------------------------------
+# Gate rescue (loss.gate_rescue): survivable GCE-collapse failure mode
+# --------------------------------------------------------------------------
+
+def test_prior_depth_anchor_matches_gt_depth():
+    """prior_depth_anchor: the WTA anchor at a hit pixel lands on the
+    hypothesis nearest GT z-depth (within one interval); miss pixels'
+    peaks are at the flat floor level."""
+    from s_volsdf_tpu.engine.train_step import pack_for_chunk
+    from s_volsdf_tpu.ops.cost_mapping import prior_depth_anchor
+
+    cfg = tiny_config()
+    scene = make_sphere_scene(n_views=3, img_res=(48, 64))
+    mvs = _gt_volumes(scene, D=48)
+    packed = pack_for_chunk(cfg, mvs)
+
+    # GT z-depth at the train pixels of view 0.
+    H, W = scene.img_res
+    ys, xs = np.mgrid[0:H, 0:W]
+    hit = np.isfinite(scene.depths[0])
+    uv_hit = np.stack([xs[hit], ys[hit]], -1).astype(np.float32)[:200]
+    z_gt = scene.depths[0][hit][:200]
+    onehot = jnp.zeros((3,)).at[0].set(1.0)
+
+    anchor, peak = prior_depth_anchor(jnp.asarray(uv_hit), onehot, packed)
+    interval = (3.4 - 1.0) / 47
+    # bilinear pixel interp + bump discretization: within ~2 intervals
+    err = np.abs(np.asarray(anchor) - z_gt)
+    assert np.median(err) < 2 * interval, float(np.median(err))
+    assert float(np.asarray(peak).min()) > 0.05  # informative bumps
+
+    uv_miss = np.stack([xs[~hit], ys[~hit]], -1).astype(np.float32)[:50]
+    _, peak_m = prior_depth_anchor(jnp.asarray(uv_miss), onehot, packed)
+    # miss pixels are flat (floor mass only): peak ~ 1/D << hit peaks
+    assert float(np.median(np.asarray(peak_m))) < 0.1
+
+
+def _conflicting_volumes(scene, D=32, shift=8):
+    """Volumes whose bumps are INCONSISTENT between views (each view's
+    bump rolled a different way along the hypothesis axis, floor=0):
+    no 3D point carries probability in two views at once, so
+    pi*pj == 0 exactly — the reference GCE loss (loss.py:61-67) has
+    identically zero gradient, the deterministic analog of the
+    committed anneal-boundary collapse
+    (runs/r4_bmvs_10k_seed0_collapsed.jsonl)."""
+    from s_volsdf_tpu.data.synthetic import gt_prob_volume
+    from s_volsdf_tpu.ops.cost_mapping import MVSVolumes
+    H, W = scene.img_res
+    dvals = np.linspace(1.0, 3.4, D).astype(np.float32)
+    probs, slabs = [], []
+    for v in range(3):
+        prob, hyp = gt_prob_volume(scene.poses[v], scene.intrinsics[v],
+                                   (H, W), dvals, scale_factor=1.0,
+                                   sigma_intervals=1.0, floor=0.0)
+        s = [shift, -shift, 0][v]
+        prob = np.roll(prob, s, axis=0)
+        if s > 0:       # no wrap-around: rolled-past mass is dropped,
+            prob[:s] = 0.0   # else head/tail bumps re-agree across views
+        elif s < 0:
+            prob[s:] = 0.0
+        # Keep each view's mass in a DISJOINT radial shell — view 0
+        # deep-shifted inside r<0.40, view 1 front-shifted outside
+        # r>1.20, view 2 unshifted in the 0.65<r<0.95 band. Grazing
+        # limb pixels (where shifted bump surfaces cross in 3D) and
+        # miss pixels (which normalize to mutually-agreeing uniform
+        # columns) are zeroed. Guarantees pi*pj == 0 for every 3D
+        # point: the GCE gradient is identically dead.
+        ys, xs = np.mgrid[0:H, 0:W]
+        K, c2w = scene.intrinsics[v], scene.poses[v]
+        dirs_cam = np.stack(
+            [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1],
+             np.ones((H, W), np.float32)], -1)
+        zc = scene.depths[v] + s * (hyp[1] - hyp[0])
+        pts = (dirs_cam * zc[..., None]) @ c2w[:3, :3].T + c2w[:3, 3]
+        r = np.linalg.norm(pts, axis=-1)
+        band = [r < 0.40, r > 1.20, (r > 0.65) & (r < 0.95)][v]
+        keep = np.isfinite(scene.depths[v]) & band
+        prob[:, ~keep] = 0.0
+        probs.append(prob)
+        slabs.append(np.stack([np.full((H, W), hyp[0], np.float32),
+                               np.full((H, W), hyp[-1], np.float32)]))
+    return MVSVolumes(prob=jnp.asarray(np.stack(probs)),
+                      z_slab=jnp.asarray(np.stack(slabs)),
+                      intrinsics=jnp.asarray(scene.intrinsics),
+                      c2w=jnp.asarray(scene.poses),
+                      img_res=scene.img_res, inverse_depth=False)
+
+
+def _run_rescue_arm(rescue_on: bool, n_steps=100):
+    cfg = tiny_config()
+    cfg.loss.mvs_weight = 1.0
+    cfg.loss.gate_rescue = rescue_on
+    cfg.loss.gate_rescue_weight = 2.0
+    scene = make_sphere_scene(n_views=3, img_res=(48, 64))
+    mvs = _conflicting_volumes(scene)
+    rng_np = np.random.default_rng(0)
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    tx = make_optimizer(cfg)
+    state = init_train_state(cfg, params, tx)
+    key = jax.random.PRNGKey(1)
+    mvs_losses, rescue = [], []
+    for step in range(n_steps):
+        batch = make_batch(scene, rng_np, step % 3, cfg.train.num_pixels)
+        key, sub = jax.random.split(key)
+        state, lo = train_step(state, batch, sub, mvs,
+                               cfg=cfg, tx=tx, use_mvs=True)
+        assert np.isfinite(float(lo.loss))
+        mvs_losses.append(float(lo.mvs_loss))
+        rescue.append(float(lo.rescue_loss))
+    return state, cfg, scene, mvs, np.asarray(mvs_losses), \
+        np.asarray(rescue)
+
+
+def _anchor_distance(state, scene, mvs):
+    """Mean |rendered depth - prior WTA anchor| over view-0 hit pixels
+    (measured with a probe cfg, gradient-free)."""
+    from s_volsdf_tpu.engine.render import render_depth
+    from s_volsdf_tpu.engine.train_step import pack_for_chunk
+    from s_volsdf_tpu.ops.cost_mapping import prior_depth_anchor
+
+    cfg = tiny_config()
+    d = render_depth(state.params, cfg.model, scene.poses[0],
+                     scene.intrinsics[0], scene.img_res, chunk=1024,
+                     fast=1)["depth"].reshape(scene.img_res)
+    H, W = scene.img_res
+    ys, xs = np.mgrid[0:H, 0:W]
+    hit = np.isfinite(scene.depths[0])
+    uv = np.stack([xs[hit], ys[hit]], -1).astype(np.float32)
+    anchor, peak = prior_depth_anchor(
+        jnp.asarray(uv), jnp.zeros((3,)).at[0].set(1.0),
+        pack_for_chunk(cfg, mvs))
+    informative = np.asarray(peak) > 0.02
+    return float(np.abs(np.asarray(d)[hit] - np.asarray(anchor))
+                 [informative].mean())
+
+
+@pytest.mark.slow
+def test_gate_rescue_recovers_dead_gce():
+    """A/B on the deterministic collapse: conflicting priors keep
+    pi*pj == 0 (GCE gradient identically dead, mvs term 0 throughout
+    both arms). With gate_rescue ON the rescue term fires and pulls
+    rendered depth toward the prior's WTA anchor; with it OFF (the
+    reference path) nothing can act and depth stays put."""
+    st_off, _, scene, mvs, mvs_off, rescue_off = _run_rescue_arm(False)
+    st_on, _, _, _, mvs_on, rescue_on = _run_rescue_arm(True)
+
+    # the GCE gate is genuinely dead in both arms
+    assert float(mvs_off.max()) < 1e-6
+    assert float(mvs_on.max()) < 1e-6
+    # flag off: the rescue field stays the scalar 0
+    assert float(np.abs(rescue_off).max()) == 0.0
+    # flag on: the term fires and decreases as depth approaches anchor
+    assert rescue_on[0] > 1e-3
+    assert rescue_on[-5:].mean() < rescue_on[:5].mean()
+
+    d_off = _anchor_distance(st_off, scene, mvs)
+    d_on = _anchor_distance(st_on, scene, mvs)
+    assert d_on < 0.6 * d_off, (d_on, d_off)
+
+
+def test_gate_rescue_off_keeps_loss_identical():
+    """Default path: the flag-off program computes the SAME total as a
+    manual recomposition without any rescue term (the Python-level
+    gate adds nothing to the traced graph)."""
+    from s_volsdf_tpu.engine.train_step import _loss_fn
+
+    cfg = tiny_config()
+    cfg.loss.mvs_weight = 1.0
+    scene = make_sphere_scene(n_views=3, img_res=(48, 64))
+    mvs = _gt_volumes(scene)
+    rng_np = np.random.default_rng(0)
+    params = init_volsdf_params(jax.random.PRNGKey(0), cfg.model)
+    batch = make_batch(scene, rng_np, 0, cfg.train.num_pixels)
+
+    loss, lo = _loss_fn(params, cfg, batch, jax.random.PRNGKey(2), mvs,
+                        jnp.asarray(0, jnp.int32))
+    manual = (cfg.loss.rgb_weight * lo.rgb_loss
+              + cfg.loss.eikonal_weight * lo.eikonal_loss
+              + cfg.loss.mvs_weight * lo.mvs_loss
+              + cfg.loss.sparse_weight * 0.0)
+    assert float(np.abs(np.asarray(loss) - np.asarray(manual))) == 0.0
+    assert float(np.asarray(lo.rescue_loss)) == 0.0

@@ -71,6 +71,14 @@ def main():
                          "bit-for-bit. >1 measures our own stream-noise "
                          "band, the exact analog of the torch arms' — "
                          "the gap is then mean-vs-mean")
+    ap.add_argument("--ours-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="train_activation_dtype + mvs_pack_dtype of "
+                         "the OURS arms (compute dtype is already f32 "
+                         "via _our_config). float32 is the numerics-"
+                         "bisection arm for the 192x288 gap question: "
+                         "if the f32 arm mean moves to the torch mean, "
+                         "the bf16 forks are the cause")
     ap.add_argument("--reuse-torch", default=None,
                     help="path to a previous output JSON: reuse its "
                          "torch_* arm metrics instead of retraining "
@@ -113,6 +121,8 @@ def main():
     cfg.loss.mvs_weight = 0.0 if args.no_mvs else 1.0
     cfg.loss.sparse_weight = 0.0
     cfg.loss.anneal_rgb = 0
+    cfg.train.train_activation_dtype = args.ours_dtype
+    cfg.train.mvs_pack_dtype = args.ours_dtype
 
     use_mvs = not args.no_mvs
     torch_mvs, our_mvs = None, None
@@ -178,6 +188,9 @@ def main():
             assert (rp["prior"]["ndepth"] == args.ndepth
                     and rp["prior"]["noise_mm"] == args.prior_noise_mm), \
                 f"reused {what} arms used a different prior"
+        if what == "ours":
+            assert rp.get("ours_dtype", "bfloat16") == args.ours_dtype, \
+                "reused ours arms trained under a different dtype"
         return prev
 
     reused = None
@@ -412,6 +425,7 @@ def main():
                       "res": [H // 4, W // 4],
                       "gce": cfg.loss.gce, "confi": cfg.loss.confi,
                       "mvs_weight": cfg.loss.mvs_weight},
+                     "ours_dtype": args.ours_dtype,
                      "world_scale": s, "downsample_mm": 0.2,
                      "max_dist_mm": 20.0,
                      "model": "converted shared init, 5x64 SDF + 3x64 RGB",

@@ -69,6 +69,12 @@ def main():
                          "--prior-floor 0.02 for realistic peakiness")
     ap.add_argument("--prior-floor", type=float, default=0.05,
                     help="--prior gt uniform background mass")
+    ap.add_argument("--gate-rescue", action="store_true",
+                    help="loss.gate_rescue=true (TPU-build extra, off "
+                         "by default): depth-anchor recovery for the "
+                         "anneal-boundary GCE collapse — A/B against "
+                         "runs/r4_bmvs_10k_seed0_collapsed.jsonl")
+    ap.add_argument("--gate-rescue-weight", type=float, default=0.1)
     ap.add_argument("--no-mvs", action="store_true",
                     help="train WITHOUT the MVS regularizer (same "
                          "seed/schedule) — the A/B control arm")
@@ -124,6 +130,9 @@ def main():
 
     if args.seed is not None:
         overrides.append(f"seed={args.seed}")
+    if args.gate_rescue:
+        overrides += ["loss.gate_rescue=true",
+                      f"loss.gate_rescue_weight={args.gate_rescue_weight}"]
     cfg = load_config(args.preset, overrides=overrides)
     cfg = per_scene_overrides(cfg, scene_name)
 
@@ -216,6 +225,8 @@ def main():
             # last step alone (the GCE gate is per-ray, loss.py:66)
             "mvs_mean": round(float(losses.mvs_loss.mean()), 6),
             "sparse": round(float(losses.sparse_loss[-1]), 5),
+            **({"rescue_mean": round(float(losses.rescue_loss.mean()), 6)}
+               if args.gate_rescue else {}),
             "psnr": round(float(losses.psnr[-1]), 3),
             "beta": round(beta, 6),
             "guard_trips": guard_trips,

@@ -153,19 +153,36 @@ def make_bmvs_fixture(root: str, scan_id: int = 1,
 
 def make_dtu_fixture(root: str, scan_id: int = 106,
                      img_res: Tuple[int, int] = (64, 96),
-                     world_scale: float = 200.0) -> str:
+                     world_scale: float = 200.0,
+                     n_eval_views: int = 0) -> str:
     """Full DTU-layout fixture: 49 views (3 distinct), cameras at
-    radius 2.8 so scaled depths fall inside the DTU 425..905 range."""
-    scene = make_sphere_scene(n_views=3, img_res=img_res, cam_radius=2.8)
+    radius 2.8 so scaled depths fall inside the DTU 425..905 range.
+
+    n_eval_views > 0 additionally renders that many DISTINCT held-out
+    views and maps them onto the first DTU eval ids (the regnerf
+    protocol split, splits.get_eval_ids), with DTU-layout foreground
+    masks under eval_mask/ — so the reference's NVS eval protocol
+    (eval_vsdf.py:205-212 masked PSNR/SSIM on eval renders) can run
+    against genuinely held-out ground truth. The remaining padded ids
+    stay copies of view 0, as before."""
+    scene = make_sphere_scene(n_views=3 + n_eval_views, img_res=img_res,
+                              cam_radius=2.8)
     write_idr_scene(root, scene, scan_id=scan_id, world_scale=world_scale)
     train_ids = [25, 22, 28]
-    # Map the 3 distinct synthetic views onto the DTU train ids by
-    # rewriting those cameras/images.
+    # Map the synthetic views onto the DTU id tables by rewriting those
+    # cameras/images: views 0-2 -> train ids, views 3.. -> eval ids.
     import imageio.v2 as imageio
+    from s_volsdf_tpu.data.splits import get_eval_ids
     inst = os.path.join(root, "DTU", f"scan{scan_id}")
     cams = dict(np.load(os.path.join(inst, "cameras.npz")))
-    scale_mat = cams["scale_mat_0"]
-    for v, tid in enumerate(train_ids):
+    id_map = list(zip(range(3), train_ids))
+    if n_eval_views:
+        eval_ids = get_eval_ids("DTU")[:n_eval_views]
+        id_map += list(zip(range(3, 3 + n_eval_views), eval_ids))
+        mask_dir = os.path.join(root, "DTU", "eval_mask",
+                                f"scan{scan_id}", "mask")
+        os.makedirs(mask_dir, exist_ok=True)
+    for v, tid in id_map:
         c2w_world = scene.poses[v].copy()
         c2w_world[:3, 3] *= world_scale
         w2c = np.linalg.inv(c2w_world)
@@ -174,6 +191,10 @@ def make_dtu_fixture(root: str, scan_id: int = 106,
         cams[f"world_mat_{tid}"] = world_mat
         img = (np.clip(scene.images[v], 0, 1) * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(inst, "image", f"{tid:06d}.png"), img)
+        if n_eval_views and v >= 3:
+            m = (np.isfinite(scene.depths[v])[..., None]
+                 * np.ones(3)).astype(np.uint8) * 255
+            imageio.imwrite(os.path.join(mask_dir, f"{tid:03d}.png"), m)
     np.savez(os.path.join(inst, "cameras.npz"), **cams)
     write_pair_file(root, f"scan{scan_id}", train_ids)
     return root

@@ -100,6 +100,11 @@ class SamplerOutput(NamedTuple):
     z_vals: jnp.ndarray            # (R, N_final) sorted
     z_samples_eik: jnp.ndarray     # (R, 1) random near-surface z
     z_vals_bg: Optional[jnp.ndarray]  # (R, N_bg) or None
+    # Iteration (1-based) after which the GLOBAL early exit engaged
+    # (scalar int32; == n_iters when the loop ran its full budget).
+    # Instrumentation for quantifying the eval-mode drift at scale
+    # (tools/sampler_drift.py); adds one comparison to the graph.
+    converged_iter: jnp.ndarray = None
 
 
 def uniform_z_vals(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc, far,
@@ -300,6 +305,7 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
 
     samples = None
     converged = jnp.asarray(False)
+    conv_iter = jnp.asarray(n_iters, jnp.int32)
     for it in range(n_iters):
         last = it == n_iters - 1
         if not last:
@@ -315,6 +321,8 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
                 z_vals, sdf, beta, converged = jax.lax.cond(
                     converged, skip_iter, upsample_iter,
                     z_vals, sdf, beta, converged)
+            conv_iter = jnp.where((conv_iter == n_iters) & converged,
+                                  it + 1, conv_iter)
         else:
             if n_iters == 1:
                 pdf = final_pdf(z_vals, sdf, beta)
@@ -363,4 +371,4 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
             cfg.N_samples_inverse_sphere, training, False, 1.0)
         z_bg = z_bg * (1.0 / scene_bounding_sphere)
 
-    return SamplerOutput(z_final, z_samples_eik, z_bg)
+    return SamplerOutput(z_final, z_samples_eik, z_bg, conv_iter)

@@ -120,7 +120,11 @@ def main():
         if not os.path.exists(os.path.join(root, "DTU")):
             print("building production-scale fixture (576x768)...",
                   flush=True)
-            make_dtu_fixture(root, scan_id=106, img_res=(576, 768))
+            # 7 DISTINCT held-out views on the regnerf eval ids so
+            # tools/run_flagship.py can score the reference's NVS eval
+            # protocol (eval_vsdf.py:205-212) on genuinely unseen views.
+            make_dtu_fixture(root, scan_id=106, img_res=(576, 768),
+                             n_eval_views=7)
         scene_name = "scan106"
         overrides = [
             f"data_dir_root={root}", f"dataset.data_dir_root={root}",

@@ -71,14 +71,20 @@ def main():
                          "bit-for-bit. >1 measures our own stream-noise "
                          "band, the exact analog of the torch arms' — "
                          "the gap is then mean-vs-mean")
-    ap.add_argument("--ours-dtype", default="bfloat16",
+    ap.add_argument("--ours-dtype", default="float32",
                     choices=["bfloat16", "float32"],
-                    help="train_activation_dtype + mvs_pack_dtype of "
-                         "the OURS arms (compute dtype is already f32 "
-                         "via _our_config). float32 is the numerics-"
-                         "bisection arm for the 192x288 gap question: "
-                         "if the f32 arm mean moves to the torch mean, "
-                         "the bf16 forks are the cause")
+                    help="numerics of the OURS arms. float32 (default) "
+                         "is what every committed arm set has "
+                         "effectively run: _our_config pins "
+                         "train_compute_dtype=float32, and bf16 "
+                         "activations only engage when the dots are "
+                         "bf16 too (models/network.py:_activation_dtype)"
+                         " — measured bit-identical trajectories under "
+                         "either old flag value, which is itself the "
+                         "192x288 bisection answer: the gap is NOT a "
+                         "bf16 fork. bfloat16 = REAL production mixed "
+                         "precision (bf16 dots + activations + packed "
+                         "volumes, the TPU trainer's defaults)")
     ap.add_argument("--reuse-torch", default=None,
                     help="path to a previous output JSON: reuse its "
                          "torch_* arm metrics instead of retraining "
@@ -123,6 +129,12 @@ def main():
     cfg.loss.anneal_rgb = 0
     cfg.train.train_activation_dtype = args.ours_dtype
     cfg.train.mvs_pack_dtype = args.ours_dtype
+    if args.ours_dtype == "bfloat16":
+        # bf16 activations are conditional on bf16 dots
+        # (models/network.py:_activation_dtype); without this the
+        # "bf16" arms silently train pure-f32 (measured: 30-step
+        # trajectories bit-identical under either flag).
+        cfg.train.train_compute_dtype = "bfloat16"
 
     use_mvs = not args.no_mvs
     torch_mvs, our_mvs = None, None
@@ -161,6 +173,12 @@ def main():
             intrinsics=jnp.asarray(scene.intrinsics),
             c2w=jnp.asarray(scene.poses),
             img_res=(H, W), inverse_depth=False)
+        # Pre-pack so mvs_pack_dtype engages: cost_mapping's raw-
+        # volume fallback always packs f32 (ops/cost_mapping.py:343);
+        # the production trainer packs via pack_for_chunk, and the
+        # arms must measure the same packed numerics.
+        from s_volsdf_tpu.engine.train_step import pack_for_chunk
+        our_mvs = pack_for_chunk(cfg, our_mvs)
 
     torch.manual_seed(0)
     model = _build_reference_model()
@@ -189,8 +207,14 @@ def main():
                     and rp["prior"]["noise_mm"] == args.prior_noise_mm), \
                 f"reused {what} arms used a different prior"
         if what == "ours":
-            assert rp.get("ours_dtype", "bfloat16") == args.ours_dtype, \
-                "reused ours arms trained under a different dtype"
+            # Files without effective_dtype predate the round-5 fix;
+            # ALL of them effectively trained float32 regardless of
+            # their nominal ours_dtype (the bf16 flags were inert —
+            # see --ours-dtype help).
+            rec = rp.get("effective_dtype", "float32")
+            assert rec == args.ours_dtype, \
+                f"reused ours arms trained under {rec}, " \
+                f"not {args.ours_dtype}"
         return prev
 
     reused = None
@@ -426,6 +450,10 @@ def main():
                       "gce": cfg.loss.gce, "confi": cfg.loss.confi,
                       "mvs_weight": cfg.loss.mvs_weight},
                      "ours_dtype": args.ours_dtype,
+                     # post round-5 fix this is what actually ran:
+                     # bf16 now sets the compute dtype too and the
+                     # volumes are pre-packed (see --ours-dtype help)
+                     "effective_dtype": args.ours_dtype,
                      "world_scale": s, "downsample_mm": 0.2,
                      "max_dist_mm": 20.0,
                      "model": "converted shared init, 5x64 SDF + 3x64 RGB",

@@ -60,7 +60,13 @@ def _loss_fn(params, cfg: Config, batch: Dict, rng,
     mcfg = dataclasses.replace(
         cfg.model, compute_dtype=cfg.train.train_compute_dtype,
         activation_dtype=cfg.train.train_activation_dtype)
+    # Optional common-random-numbers feed for paired cross-framework
+    # experiments (models/sampler.py:error_bound_sample jitter doc);
+    # rides in the batch dict so the jit signature is unchanged.
+    jitter = batch.get("jitter")
     if cfg.model.with_background:
+        assert jitter is None, \
+            "jitter injection is not threaded through the bg network"
         from s_volsdf_tpu.models.network_bg import render_rays_bg
         out = render_rays_bg(
             params, mcfg, batch["uv"], batch["pose"],
@@ -68,7 +74,8 @@ def _loss_fn(params, cfg: Config, batch: Dict, rng,
     else:
         out = render_rays(
             params, mcfg, batch["uv"], batch["pose"],
-            batch["intrinsics"], rng, training=True, fast=1)
+            batch["intrinsics"], rng, training=True, fast=1,
+            jitter=jitter)
     outputs = {
         "rgb_values": out.rgb_values,
         "depth_values": out.depth_values,

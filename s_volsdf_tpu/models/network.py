@@ -224,12 +224,17 @@ class RenderOutput(NamedTuple):
 
 
 def render_rays(params, cfg: ModelConfig, uv, pose, intrinsics, rng,
-                *, training: bool, fast: int) -> RenderOutput:
+                *, training: bool, fast: int,
+                jitter=None) -> RenderOutput:
     """VolSDFNetwork.forward (network.py:206-279).
 
     uv: (B, N, 2); pose/intrinsics: (B, 4, 4). Rays are flattened to
     R = B*N — rays are the sharding axis for multi-chip.
     fast: sampler iteration budget; -1 => cfg.sampler.max_total_iters.
+    jitter: optional common-random-numbers feed (paired
+    cross-framework experiments): the sampler keys documented at
+    models/sampler.py:error_bound_sample plus "eik_pts" (R, 3) U[0,1)
+    realizations for the uniform eikonal points (network.py:260-261).
     """
     bounding_sphere = 0.0 if cfg.white_bkgd else cfg.scene_bounding_sphere
     ray_dirs, cam_loc = get_camera_params(uv, pose, intrinsics)
@@ -252,7 +257,7 @@ def render_rays(params, cfg: ModelConfig, uv, pose, intrinsics, rng,
     s_out = error_bound_sample(
         k_sample, cfg.sampler, ray_dirs, cam_loc, sdf_fn, beta0,
         n_iters=n_iters, training=training,
-        scene_bounding_sphere=cfg.scene_bounding_sphere)
+        scene_bounding_sphere=cfg.scene_bounding_sphere, jitter=jitter)
     z_vals = s_out.z_vals
     S = z_vals.shape[1]
 
@@ -287,8 +292,13 @@ def render_rays(params, cfg: ModelConfig, uv, pose, intrinsics, rng,
         # Eikonal points: uniform in the bounding cube + near-surface
         # (network.py:258-268).
         r = cfg.scene_bounding_sphere
-        eik_uniform = jax.random.uniform(
-            k_eik, (R, 3), minval=-r, maxval=r)
+        if jitter is not None:
+            # U[0,1) feed -> U(-r, r), exactly Tensor.uniform_'s
+            # affine map so torch replays the same realizations.
+            eik_uniform = -r + 2.0 * r * jitter["eik_pts"]
+        else:
+            eik_uniform = jax.random.uniform(
+                k_eik, (R, 3), minval=-r, maxval=r)
         eik_near = cam_loc + s_out.z_samples_eik * ray_dirs
         eik_points = jnp.concatenate([eik_uniform, eik_near], axis=0)
         grad_theta = sdf_gradient(params["sdf"], cfg, eik_points,

@@ -110,8 +110,13 @@ class SamplerOutput(NamedTuple):
 def uniform_z_vals(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc, far,
                    n_samples: int, training: bool,
                    take_sphere_intersection: bool,
-                   scene_bounding_sphere: float):
-    """UniformSampler.get_z_vals (ray_sampler.py:15-43)."""
+                   scene_bounding_sphere: float, t_rand=None):
+    """UniformSampler.get_z_vals (ray_sampler.py:15-43).
+
+    t_rand: optional externally-supplied U[0,1) jitter of shape
+    (R, n_samples) — the common-random-numbers seam for paired
+    cross-framework experiments (tools/chamfer_midscale.py --paired);
+    when None the jitter is drawn from `rng` as usual."""
     R = ray_dirs.shape[0]
     near = jnp.full((R, 1), cfg.near, dtype=ray_dirs.dtype)
     if take_sphere_intersection:
@@ -133,8 +138,10 @@ def uniform_z_vals(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc, far,
         mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
         lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
-        t_rand = jax.random.uniform(rng, z_vals.shape, dtype=z_vals.dtype)
-        z_vals = lower + (upper - lower) * t_rand
+        if t_rand is None:
+            t_rand = jax.random.uniform(rng, z_vals.shape,
+                                        dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * t_rand.astype(z_vals.dtype)
     return z_vals
 
 
@@ -189,7 +196,8 @@ def _weights(z_vals, sdf, beta):
 
 def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
                        sdf_fn, beta0, *, n_iters: int, training: bool,
-                       scene_bounding_sphere: float) -> SamplerOutput:
+                       scene_bounding_sphere: float,
+                       jitter=None) -> SamplerOutput:
     """ErrorBoundSampler.get_z_vals with a static iteration schedule.
 
     Args:
@@ -198,9 +206,21 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
       beta0: scalar current density beta (already stop-gradient'd).
       n_iters: static loop count; the reference uses 1 in training
         (fast=1, vsdf.py:205) and max_total_iters=5 at eval.
+      jitter: optional common-random-numbers feed replacing every
+        random draw this function makes — keys "t_rand" (R, N_eval)
+        U[0,1), "u_final" (R, N_samples) U[0,1), "extra_idx"
+        (N_extra,) int32 column picks, "eik_idx" (R, 1) int32. The
+        torch reference consumes the SAME realizations at its
+        matching sites (ray_sampler.py:39,170,201,211) in paired
+        cross-framework experiments (tools/chamfer_midscale.py
+        --paired). Only supported at the training fast=1 budget
+        (n_iters == 1, where the draw schedule is static).
     """
     far = 2.0 * scene_bounding_sphere
     R = ray_dirs.shape[0]
+    if jitter is not None:
+        assert n_iters == 1 and training, \
+            "jitter injection is defined for the training fast=1 path"
     k_uniform, k_final, k_extra, k_eik, k_bg = jax.random.split(rng, 5)
 
     def eval_sdf(z):
@@ -209,7 +229,8 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
 
     z_vals = uniform_z_vals(
         k_uniform, cfg, ray_dirs, cam_loc, far, cfg.N_samples_eval,
-        training, cfg.inverse_sphere_bg, scene_bounding_sphere)
+        training, cfg.inverse_sphere_bg, scene_bounding_sphere,
+        t_rand=None if jitter is None else jitter["t_rand"])
     sdf = eval_sdf(z_vals)
 
     # Beta upper bound from Lemma 2 (ray_sampler.py:76-78).
@@ -330,7 +351,9 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
                 pdf = jax.lax.cond(converged, final_pdf_converged,
                                    final_pdf, z_vals, sdf, beta)
             cdf = pdf_to_cdf(pdf)
-            if training:
+            if jitter is not None:
+                u = jitter["u_final"]
+            elif training:
                 u = jax.random.uniform(k_final, (R, cfg.N_samples))
             else:
                 u = jnp.broadcast_to(
@@ -347,7 +370,9 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
 
     K = z_vals.shape[1]
     if cfg.N_samples_extra > 0:
-        if training:
+        if jitter is not None:
+            idx = jitter["extra_idx"]
+        elif training:
             idx = jax.random.permutation(k_extra, K)[: cfg.N_samples_extra]
         else:
             idx = jnp.linspace(0, K - 1, cfg.N_samples_extra).astype(jnp.int32)
@@ -358,7 +383,10 @@ def error_bound_sample(rng, cfg: RaySamplerConfig, ray_dirs, cam_loc,
     z_final = jnp.sort(jnp.concatenate([samples, z_extra], axis=-1), axis=-1)
 
     # Random near-surface z for the eikonal loss (ray_sampler.py:210-212).
-    eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
+    if jitter is not None:
+        eik_idx = jitter["eik_idx"]
+    else:
+        eik_idx = jax.random.randint(k_eik, (R, 1), 0, z_final.shape[-1])
     z_samples_eik = jnp.take_along_axis(z_final, eik_idx, axis=-1)
 
     z_bg = None

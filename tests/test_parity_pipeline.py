@@ -361,10 +361,15 @@ def test_pipeline_gate_catches_transposed_weight(samples, fixture_root):
         f"transposed weight went undetected (max diff {mismatch})"
 
 
-def _train_torch(model, cfg, scene, batches, stream_seed: int, mvs=None):
+def _train_torch(model, cfg, scene, batches, stream_seed: int, mvs=None,
+                 per_step=None):
     """Train the reference model in place with its production
     VolSDFLoss + Adam (vsdf.py:92-102); only the per-step torch RNG
     stream (sampler noise, eikonal points) depends on stream_seed.
+
+    per_step: optional callback(step_index) invoked before each
+    forward — the common-random-numbers pairing hook
+    (tools/paired_jitter.py advances its torch replay feed here).
 
     With `mvs` (dict of costs/z_mvs/intrinsics/c2w/img_res lists, the
     torch_cost_mapping operand layout), each step also runs the literal
@@ -388,7 +393,9 @@ def _train_torch(model, cfg, scene, batches, stream_seed: int, mvs=None):
             gce=cfg.loss.gce, confi=cfg.loss.confi)
     loss_fn.set_stg(0)   # initializes iter_step (vsdf.py does this)
     opt = torch.optim.Adam(model.parameters(), lr=cfg.train.learning_rate)
-    for view, uv, rgb in batches:
+    for step_i, (view, uv, rgb) in enumerate(batches):
+        if per_step is not None:
+            per_step(step_i)
         t_in = {
             "uv": torch.from_numpy(uv)[None],
             "intrinsics": torch.from_numpy(scene.intrinsics[view])[None],

@@ -209,9 +209,9 @@ def main():
     depth_mae_hit_mm = float(np.abs(o_depth - t_depth)[hit].mean() * s)
     mse = float(np.mean((o_rgb - t_rgb) ** 2))
     rgb_psnr = float(-10.0 * np.log10(mse)) if mse > 0 else float("inf")
-    from skimage.metrics import structural_similarity as ssim
+    from s_volsdf_tpu.utils.metrics import ssim
     rgb_ssim = float(ssim(np.clip(o_rgb, 0, 1), np.clip(t_rgb, 0, 1),
-                          channel_axis=2, data_range=1.0))
+                          data_range=1.0))
 
     out = {
         "protocol": {

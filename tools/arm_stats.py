@@ -46,6 +46,37 @@ def perm_test(torch_vals, ours_vals, max_splits=2_000_000):
     return obs, count / total, total
 
 
+def sign_flip_test(diffs, max_n=24):
+    """Exact paired sign-flip test on per-pair differences d_i
+    (ours_i - torch_i under common random numbers). Under the null
+    (no systematic framework difference) each d_i is symmetric around
+    0, so all 2^n sign assignments are equally likely; p is the exact
+    fraction with |mean| >= the observed |mean|. Floor: 2/2^n when
+    every pair lands on the same side."""
+    d = np.asarray(diffs, float)
+    n = len(d)
+    assert n <= max_n, f"2^{n} sign vectors is too many; sample instead"
+    obs = abs(d.mean())
+    count = 0
+    for bits in range(2 ** n):
+        signs = np.array([1.0 if (bits >> i) & 1 else -1.0
+                          for i in range(n)])
+        count += abs((signs * d).mean()) >= obs - 1e-12
+    return obs, count / 2 ** n, 2 ** n
+
+
+def paired_rows(res):
+    """(torch_name, ours_name) pairs by arm index from a results dict
+    (arm i of each framework shares jitter seed pair_seed0+i)."""
+    torch_names = sorted(n for n in res if n.startswith("torch_"))
+    ours_names = sorted((n for n in res
+                         if n == "ours" or n.startswith("ours_")),
+                        key=lambda n: "" if n == "ours" else n)
+    assert len(torch_names) == len(ours_names), \
+        f"unpaired arm counts: {torch_names} vs {ours_names}"
+    return list(zip(torch_names, ours_names))
+
+
 def main():
     path = sys.argv[1]
     with open(path) as f:

@@ -85,6 +85,18 @@ def main():
                          "bf16 fork. bfloat16 = REAL production mixed "
                          "precision (bf16 dots + activations + packed "
                          "volumes, the TPU trainer's defaults)")
+    ap.add_argument("--paired", action="store_true",
+                    help="common-random-numbers pairing: arm i of each "
+                         "framework consumes the SAME jitter "
+                         "realizations at every draw site "
+                         "(tools/paired_jitter.py), so the within-pair "
+                         "difference cancels the cross-stream variance "
+                         "that capped the unpaired design at p=0.19 "
+                         "(runs/CHAMFER_MIDSCALE_L_5V5.json). Requires "
+                         "--torch-arms == --ours-arms; reports a paired "
+                         "sign-flip test over the per-pair differences")
+    ap.add_argument("--pair-seed0", type=int, default=9000,
+                    help="jitter seed of pair 0 (pair i uses seed0+i)")
     ap.add_argument("--reuse-torch", default=None,
                     help="path to a previous output JSON: reuse its "
                          "torch_* arm metrics instead of retraining "
@@ -98,6 +110,9 @@ def main():
     args = ap.parse_args()
     assert args.torch_arms >= 2 or args.reuse_torch, \
         "need >=2 torch arms for a noise band"
+    if args.paired:
+        assert args.ours_arms == args.torch_arms, \
+            "--paired needs one ours arm per torch arm"
     H, W = (int(x) for x in args.res.split(","))
 
     import jax
@@ -193,6 +208,30 @@ def main():
         uv, rgb = sample_rays(scene, rng_np, view, args.rays)
         batches.append((view, uv, rgb))
 
+    # Common-random-numbers pairing (--paired): arm i of each
+    # framework walks its own copy of the SAME deterministic feed.
+    from tools.paired_jitter import (JitterStream, TorchReplay,
+                                     jitter_batch_entry)
+    s_cfg = cfg.model.sampler
+
+    def _pair_stream(i):
+        return JitterStream(args.pair_seed0 + i, args.rays,
+                            s_cfg.N_samples_eval, s_cfg.N_samples,
+                            s_cfg.N_samples_extra)
+
+    def _fit_torch_arm(i):
+        m = _build_reference_model()
+        m.load_state_dict(sd0)
+        if not args.paired:
+            return _train_torch(m, cfg, scene, batches,
+                                stream_seed=100 * (i + 1), mvs=torch_mvs)
+        stream = _pair_stream(i)
+        with TorchReplay() as replay:
+            return _train_torch(
+                m, cfg, scene, batches, stream_seed=100 * (i + 1),
+                mvs=torch_mvs,
+                per_step=lambda t: replay.set_step(stream.step()))
+
     def _load_reused(path, what):
         with open(path) as f:
             prev = json.load(f)
@@ -202,6 +241,10 @@ def main():
                 and rp["use_mvs"] == use_mvs
                 and rp["world_scale"] == args.world_scale), \
             f"reused {what} arms were measured under a different protocol"
+        assert rp.get("paired", False) == args.paired and \
+            rp.get("pair_seed0") == (args.pair_seed0 if args.paired
+                                     else rp.get("pair_seed0")), \
+            f"reused {what} arms have a different pairing configuration"
         if use_mvs:
             assert (rp["prior"]["ndepth"] == args.ndepth
                     and rp["prior"]["noise_mm"] == args.prior_noise_mm), \
@@ -237,13 +280,10 @@ def main():
         t_torch = reused["wall_s"]["torch_per_run"]
         for i, name in enumerate(fresh_names, start=len(reused_names)):
             print(f"[{time.strftime('%H:%M:%S')}] {name} ({args.steps} "
-                  f"steps, use_mvs={use_mvs}, stream_seed={100 * (i + 1)})",
+                  f"steps, use_mvs={use_mvs}, paired={args.paired})",
                   flush=True)
-            m = _build_reference_model()
-            m.load_state_dict(sd0)
             t0 = time.time()
-            m = _train_torch(m, cfg, scene, batches,
-                             stream_seed=100 * (i + 1), mvs=torch_mvs)
+            m = _fit_torch_arm(i)
             t_torch = time.time() - t0
             print(f"  {t_torch:.0f}s", flush=True)
             torch_models.append(m)
@@ -255,14 +295,10 @@ def main():
         t_torch = 0.0
         for i, name in enumerate(arm_names):
             print(f"[{time.strftime('%H:%M:%S')}] {name} ({args.steps} "
-                  f"steps, use_mvs={use_mvs}, stream_seed={100 * (i + 1)})",
+                  f"steps, use_mvs={use_mvs}, paired={args.paired})",
                   flush=True)
-            m = model if i == 0 else _build_reference_model()
-            if i > 0:
-                m.load_state_dict(sd0)
             t0 = time.time()
-            m = _train_torch(m, cfg, scene, batches,
-                             stream_seed=100 * (i + 1), mvs=torch_mvs)
+            m = _fit_torch_arm(i)
             t_torch = time.time() - t0
             print(f"  {t_torch:.0f}s", flush=True)
             torch_models.append(m)
@@ -301,9 +337,12 @@ def main():
         # stream_seed=100*(i+1) over the same shared pixel batches).
         key = jax.random.PRNGKey(5 + 1000 * j)
         print(f"[{time.strftime('%H:%M:%S')}] {oname} (same init via "
-              f"converter, same batches, stream_key={5 + 1000 * j})",
+              f"converter, same batches, "
+              f"{'paired jitter seed ' + str(args.pair_seed0 + j)
+                 if args.paired else 'stream_key=' + str(5 + 1000 * j)})",
               flush=True)
         t0 = time.time()
+        stream_o = _pair_stream(j) if args.paired else None
         state = init_train_state(cfg, params, tx)
         for view, uv, rgb in batches:
             key, sub = jax.random.split(key)
@@ -314,6 +353,9 @@ def main():
                 "intrinsics": jnp.asarray(scene.intrinsics[view])[None],
                 "view_onehot": jnp.zeros((3,)).at[view].set(1.0),
             }
+            if stream_o is not None:
+                batch["jitter"] = jitter_batch_entry(
+                    stream_o.step(), s_cfg.N_samples_extra)
             state, _ = train_step(state, batch, sub, our_mvs, cfg=cfg,
                                   tx=tx, use_mvs=use_mvs)
         t_ours = time.time() - t0
@@ -454,6 +496,9 @@ def main():
                      # bf16 now sets the compute dtype too and the
                      # volumes are pre-packed (see --ours-dtype help)
                      "effective_dtype": args.ours_dtype,
+                     "paired": args.paired,
+                     "pair_seed0": args.pair_seed0 if args.paired
+                     else None,
                      "world_scale": s, "downsample_mm": 0.2,
                      "max_dist_mm": 20.0,
                      "model": "converted shared init, 5x64 SDF + 3x64 RGB",
@@ -483,11 +528,38 @@ def main():
                    "ours": round(t_ours, 1),
                    "total": round(time.time() - t_all, 1)},
     }
+    if args.paired:
+        # Per-pair differences under common random numbers: arm i of
+        # each framework consumed the same jitter realizations, so
+        # d_i isolates framework numerics from stream noise. Exact
+        # sign-flip test (tools/arm_stats.py:sign_flip_test).
+        from tools.arm_stats import sign_flip_test
+        paired = {}
+        for key_m in ("overall_mm", "radial_mm"):
+            d = [results[o][key_m] - results[t][key_m]
+                 for t, o in zip(arm_names, ours_names)]
+            obs, p, total = sign_flip_test(d)
+            tmean = float(np.mean([results[t][key_m]
+                                   for t in arm_names]))
+            paired[key_m] = {
+                "d_per_pair_mm": [round(float(x), 4) for x in d],
+                "d_mean_mm": round(float(np.mean(d)), 4),
+                "d_std_mm": round(float(np.std(d)), 4),
+                "gap_pct": round(100 * abs(float(np.mean(d))) / tmean, 2),
+                "sign_flip_p": round(float(p), 5),
+                "n_sign_vectors": total,
+            }
+        out["paired_analysis"] = paired
+        out["within_bar"] = bool(
+            paired["overall_mm"]["gap_pct"] <= 5.0
+            or paired["overall_mm"]["sign_flip_p"] > 0.05)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("cross_framework_gap_pct", "torch_stream_noise_pct",
                        "ours_stream_noise_pct", "within_bar")}), flush=True)
+    if args.paired:
+        print("paired:", json.dumps(out["paired_analysis"]), flush=True)
     print(f"wrote {args.out}", flush=True)
 
 

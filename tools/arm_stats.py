@@ -65,6 +65,21 @@ def sign_flip_test(diffs, max_n=24):
     return obs, count / 2 ** n, 2 ** n
 
 
+def paired_ci(diffs, conf=0.95):
+    """Two-sided t-interval on the mean per-pair difference. At tiny
+    n the exact sign-flip test's p floor (2/2^n; 0.125 at n=4) makes
+    the CI the decisive statistic: it quantifies how large a
+    systematic framework gap the paired data can still hide."""
+    d = np.asarray(diffs, float)
+    n = len(d)
+    assert n >= 2, "need >=2 pairs for a CI"
+    se = d.std(ddof=1) / np.sqrt(n)
+    # two-sided t critical values, df = n-1 (no scipy dependency)
+    t_crit = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
+              6: 2.447, 7: 2.365, 8: 2.306, 9: 2.262}[n - 1]
+    return float(d.mean() - t_crit * se), float(d.mean() + t_crit * se)
+
+
 def paired_rows(res):
     """(torch_name, ours_name) pairs by arm index from a results dict
     (arm i of each framework shares jitter seed pair_seed0+i)."""
@@ -102,6 +117,24 @@ def main():
             "perm_p": round(float(p), 4),
             "n_splits": total,
         }
+    if out.get("protocol", {}).get("paired"):
+        report["paired"] = {}
+        for key in ("overall_mm", "radial_mm"):
+            pairs = paired_rows(res)
+            d = [res[o][key] - res[t][key] for t, o in pairs]
+            obs, p, total = sign_flip_test(d)
+            lo, hi = paired_ci(d)
+            tmean = float(np.mean([res[t][key] for t, _ in pairs]))
+            report["paired"][key] = {
+                "d_per_pair_mm": [round(float(x), 4) for x in d],
+                "d_mean_mm": round(float(np.mean(d)), 4),
+                "sign_flip_p": round(float(p), 5),
+                "p_floor": round(2 / total, 5),
+                "ci95_mm": [round(lo, 4), round(hi, 4)],
+                "ci95_gap_pct": [round(100 * lo / tmean, 2),
+                                 round(100 * hi / tmean, 2)],
+                "torch_mean_mm": round(tmean, 4),
+            }
     print(json.dumps(report, indent=1))
 
 

@@ -533,7 +533,7 @@ def main():
         # each framework consumed the same jitter realizations, so
         # d_i isolates framework numerics from stream noise. Exact
         # sign-flip test (tools/arm_stats.py:sign_flip_test).
-        from tools.arm_stats import sign_flip_test
+        from tools.arm_stats import paired_ci, sign_flip_test
         paired = {}
         for key_m in ("overall_mm", "radial_mm"):
             d = [results[o][key_m] - results[t][key_m]
@@ -549,6 +549,14 @@ def main():
                 "sign_flip_p": round(float(p), 5),
                 "n_sign_vectors": total,
             }
+            if len(d) >= 2:
+                # At n=4 pairs the sign-flip floor is 0.125, so the
+                # t-interval on d is the decisive statistic: it bounds
+                # how large a systematic gap the data can still hide.
+                lo, hi = paired_ci(d)
+                paired[key_m]["ci95_mm"] = [round(lo, 4), round(hi, 4)]
+                paired[key_m]["ci95_gap_pct"] = [
+                    round(100 * lo / tmean, 2), round(100 * hi / tmean, 2)]
         out["paired_analysis"] = paired
         out["within_bar"] = bool(
             paired["overall_mm"]["gap_pct"] <= 5.0

@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--render-res", default="576,768")
     ap.add_argument("--chunk", type=int, default=10000,
                     help="render chunk (the reference's split_n_pixels)")
+    ap.add_argument("--row-band", default=None,
+                    help="'r0,r1': render only rows [r0,r1) of the "
+                    "production-res frame (identical rays both sides; "
+                    "full camera geometry, full width). The torch "
+                    "reference renders ~2 min per 10k rays on this 1-CPU "
+                    "env, so the full 442k-ray frame costs ~1.5 h — a "
+                    "contiguous band keeps the measurement at production "
+                    "ray geometry and chunking at a committable cost.")
     ap.add_argument("--world-scale", type=float, default=200.0)
     ap.add_argument("--out", default="runs/SAMPLER_DRIFT.json")
     args = ap.parse_args()
@@ -55,7 +63,6 @@ def main():
     from tools.convert_ckpt import convert
     from s_volsdf_tpu.data.synthetic import (gt_prob_volume,
                                              make_sphere_scene, sample_rays)
-    from s_volsdf_tpu.engine.render import render_image
 
     install_stubs()
     from volsdf.model.network import VolSDFNetwork
@@ -133,8 +140,11 @@ def main():
     # ---- render scene at production res (same cameras, finer grid) --
     rscene = make_sphere_scene(n_views=3, img_res=(H, W), cam_radius=2.2)
     view = 0
-    ys, xs = np.mgrid[0:H, 0:W]
+    r0, r1 = (0, H) if args.row_band is None else (
+        int(x) for x in args.row_band.split(","))
+    ys, xs = np.mgrid[r0:r1, 0:W]
     uv_full = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+    Hb = r1 - r0
 
     # torch full render, eval protocol chunks (eval_vsdf.py:216-228)
     print(f"[{time.strftime('%H:%M:%S')}] torch render {H}x{W} fast=-1",
@@ -154,18 +164,28 @@ def main():
             print(f"  torch chunk {c // args.chunk + 1}/"
                   f"{(uv_full.shape[0] + args.chunk - 1) // args.chunk}",
                   flush=True)
-    t_rgb = np.concatenate(t_rgb).reshape(H, W, 3)
-    t_depth = np.concatenate(t_depth).reshape(H, W)
+    t_rgb = np.concatenate(t_rgb).reshape(Hb, W, 3)
+    t_depth = np.concatenate(t_depth).reshape(Hb, W)
     t_torch_render = time.time() - t0
 
-    print(f"[{time.strftime('%H:%M:%S')}] ours render {H}x{W} fast=-1",
-          flush=True)
+    print(f"[{time.strftime('%H:%M:%S')}] ours render {H}x{W} "
+          f"rows[{r0}:{r1}] fast=-1", flush=True)
     t0 = time.time()
-    maps = render_image(params, cfg.model, rscene.poses[view],
-                        rscene.intrinsics[view], (H, W),
-                        chunk=args.chunk, fast=-1)
-    o_rgb = np.asarray(maps["rgb"]).reshape(H, W, 3)
-    o_depth = np.asarray(maps["depth"]).reshape(H, W)
+    from s_volsdf_tpu.engine.render import _render_chunk
+    n_rays = uv_full.shape[0]
+    n_pad = (-n_rays) % args.chunk
+    uv_pad = np.concatenate(
+        [uv_full, np.zeros((n_pad, 2), np.float32)], axis=0)
+    pose_b = jnp.asarray(rscene.poses[view])[None]
+    intr_b = jnp.asarray(rscene.intrinsics[view])[None]
+    rng0 = jax.random.PRNGKey(0)
+    outs = [_render_chunk(params, jnp.asarray(uv_pad[i:i + args.chunk])[None],
+                          pose_b, intr_b, rng0, cfg=cfg.model, fast=-1)
+            for i in range(0, uv_pad.shape[0], args.chunk)]
+    o_rgb = np.concatenate([np.asarray(o["rgb_values"]).reshape(-1, 3)
+                            for o in outs])[:n_rays].reshape(Hb, W, 3)
+    o_depth = np.concatenate([np.asarray(o["depth_values"]).ravel()
+                              for o in outs])[:n_rays].reshape(Hb, W)
     t_ours_render = time.time() - t0
 
     # ---- converged-iteration histogram (early-exit evidence) --------
@@ -204,7 +224,7 @@ def main():
 
     # ---- drift metrics ----------------------------------------------
     s = args.world_scale
-    hit = np.isfinite(rscene.depths[view])
+    hit = np.isfinite(rscene.depths[view])[r0:r1]
     depth_mae_mm = float(np.abs(o_depth - t_depth).mean() * s)
     depth_mae_hit_mm = float(np.abs(o_depth - t_depth)[hit].mean() * s)
     mse = float(np.mean((o_rgb - t_rgb) ** 2))
@@ -215,7 +235,8 @@ def main():
 
     out = {
         "protocol": {
-            "render_res": [H, W], "fast": -1, "view": view,
+            "render_res": [H, W], "row_band": [r0, r1],
+            "fast": -1, "view": view,
             "sampler": prod_sampler, "chunk": args.chunk,
             "train": {"steps": args.train_steps, "res": [Ht, Wt],
                       "rays": 192, "use_mvs": True},
